@@ -1,0 +1,117 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Cleaners, Phonetics, Similarity}
+
+/** Catalyst expressions wrapping the pure `graft.core` kernel (SURVEY.md §2.10,
+  * §7.3): custom comparators/cleaners as native, codegen-participating
+  * expressions rather than Scala UDFs — `doGenCode` emits a direct static call
+  * into `graft.core.*`, so the whole clean->compare->combine projection stays
+  * inside one WholeStageCodegen span (SURVEY.md §4 "codegen / vectorization").
+  */
+
+/** Binary string-similarity expression. `method` is the static method name on
+  * `graft.core.Similarity`; `args` are trailing double parameters (q, formula,
+  * maxMeters, ...). Null-intolerant: any null side -> null similarity (the
+  * missing-value skip P3 is handled one level up, in the scoring fold).
+  */
+case class SimExpr(left: Expression, right: Expression, method: String, args: Seq[Double] = Nil)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"sim_$method"
+
+  @transient private lazy val fn: (String, String) => Double = method match {
+    case "exact"                  => Similarity.exact
+    case "jaro"                   => Similarity.jaro
+    case "jaroWinkler"            => Similarity.jaroWinkler
+    case "jaroWinklerTokenized"   => Similarity.jaroWinklerTokenized
+    case "levenshteinSim"         => Similarity.levenshteinSim
+    case "levenshteinSimCutoff"   => Similarity.levenshteinSimCutoff
+    case "weightedLevenshteinSimD" => (a, b) => Similarity.weightedLevenshteinSim(a, b, args(0))
+    case "qgramSimD"              => (a, b) => Similarity.qgramSim(a, b, args(0).toInt, args(1).toInt)
+    case "qgramDice"              => Similarity.qgramDice
+    case "diceToken"              => Similarity.diceToken
+    case "jaccardToken"           => Similarity.jaccardToken
+    case "numericSim"             => Similarity.numericSim
+    case "geoSimD"                => (a, b) => Similarity.geoSim(a, b, args(0))
+    case "soundexEq"              => Similarity.soundexEq
+    case "metaphoneEq"            => Similarity.metaphoneEq
+    case "norphoneEq"             => Similarity.norphoneEq
+    case "personNameSim"          => Similarity.personNameSim
+    case "lcsSim"                 => Similarity.lcsSim
+    case other => throw new IllegalArgumentException(s"unknown sim method $other")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    fn(l.toString, r.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val argList = args.map(d => s", ${d}D").mkString
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.core.Similarity.$method($a.toString(), $b.toString()$argList)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimExpr =
+    copy(left = l, right = r)
+}
+
+/** Unary cleaner expression: one Duke cleaner step by registry name. */
+case class CleanExpr(child: Expression, cleaner: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"clean_${cleaner.replace('-', '_')}"
+
+  @transient private lazy val fn: String => String = Cleaners.registry(cleaner)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val r = fn(v.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |graft.core.Cleaners.clean("$cleaner", $c.toString()))""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): CleanExpr = copy(child = c)
+}
+
+/** Phonetic-code expressions (soundex exists as a Spark builtin; metaphone and
+  * norphone do not — SURVEY.md §2.4 K11).
+  */
+case class PhoneticExpr(child: Expression, algo: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = algo
+
+  @transient private lazy val fn: String => String = algo match {
+    case "soundex"   => Phonetics.soundex
+    case "metaphone" => Phonetics.metaphone
+    case "norphone"  => Phonetics.norphone
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(fn(v.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
+         |graft.core.Phonetics.$algo($c.toString()))""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): PhoneticExpr = copy(child = c)
+}

@@ -1,0 +1,144 @@
+package graft.model
+
+/** Data + configuration model (SURVEY.md §1). Pure Scala — no Spark imports — so
+  * the scoring kernel, fixtures, and tests share it without a session.
+  */
+
+/** One span of an interleaved document — the authoritative input shape
+  * (`BASELINE.json` input_hint; SURVEY.md §1.4): text spans carry `text`,
+  * media spans carry `media_ref`; `offset` strictly increasing within a doc.
+  */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** A document row of the input table (doc_id:string, spans:array<struct<...>>). */
+case class Doc(doc_id: String, spans: Seq[Span])
+
+/** Flat Duke-style record extracted from spans by `kind` (SURVEY.md §1.1):
+  * every property is multi-valued strings `[D Record.java#getValues]`.
+  */
+case class EntityRecord(doc_id: String, props: Map[String, Seq[String]])
+
+/** Property matching spec — mirrors Duke `Property` + the plugin's query-JSON
+  * field entry (`[D Property.java]`, `[U README.md#usage]`, SURVEY.md §1.2):
+  * ordered `cleaners` chain, `comparator` registry key, `low`/`high`
+  * probabilities, optional numeric comparator params (q, formula, maxMeters...).
+  */
+case class PropertySpec(
+    name: String,
+    cleaners: Seq[String],
+    comparator: String,
+    low: Double,
+    high: Double,
+    params: Seq[Double] = Nil)
+
+/** Full match configuration — mirrors Duke `Configuration` (`[D Configuration.java]`):
+  * accept threshold + maybe threshold + ordered property list (fixed order for a
+  * deterministic Bayes fold — SURVEY.md §7.4).
+  */
+case class MatchConfig(
+    threshold: Double,
+    maybeThreshold: Double,
+    properties: Seq[PropertySpec])
+
+object MatchConfig {
+
+  /** The fixture configuration from FIXTURES.md §3 — name (Jaro-Winkler),
+    * address (q-gram Dice), phone (exact on digits), media (exact on refs).
+    */
+  val fixture: MatchConfig = MatchConfig(
+    threshold = 0.85,
+    maybeThreshold = 0.7,
+    properties = Seq(
+      PropertySpec("name", Seq("trim", "lowercase-normalize"), "jaro-winkler", 0.1, 0.95),
+      PropertySpec("address", Seq("trim", "lowercase-normalize"), "qgram", 0.25, 0.9),
+      PropertySpec("phone", Seq("digits-only"), "exact", 0.3, 0.98),
+      PropertySpec("media", Nil, "exact", 0.4, 0.9)))
+
+  /** Parse the plugin-style JSON config (SURVEY.md §1.2) without external JSON
+    * deps: minimal recursive-descent over the fixture subset of JSON.
+    */
+  def fromJson(json: String): MatchConfig = JsonLite.parseConfig(json)
+}
+
+/** Minimal JSON reader for MatchConfig (offline sandbox: no JSON library on the
+  * compile classpath beyond Spark's internals — keep the config path dependency-free).
+  */
+private[model] object JsonLite {
+  def parseConfig(json: String): MatchConfig = {
+    val v = parse(json)._1.asInstanceOf[Map[String, Any]]
+    def d(x: Any): Double = x.asInstanceOf[Double]
+    val props = v("properties").asInstanceOf[List[Any]].map { p0 =>
+      val p = p0.asInstanceOf[Map[String, Any]]
+      PropertySpec(
+        name = p("name").asInstanceOf[String],
+        cleaners = p.getOrElse("cleaners", List.empty[Any]).asInstanceOf[List[Any]]
+          .map(_.asInstanceOf[String]),
+        comparator = p("comparator").asInstanceOf[String],
+        low = d(p("low")),
+        high = d(p("high")),
+        params = p.getOrElse("params", List.empty[Any]).asInstanceOf[List[Any]].map(d))
+    }
+    MatchConfig(d(v("threshold")), d(v("maybeThreshold")), props)
+  }
+
+  /** Returns (value, rest-index). Supports objects, arrays, strings, numbers,
+    * booleans, null.
+    */
+  private def parse(s: String, from: Int = 0): (Any, Int) = {
+    var i = skipWs(s, from)
+    s.charAt(i) match {
+      case '{' =>
+        var m = Map.empty[String, Any]
+        i = skipWs(s, i + 1)
+        if (s.charAt(i) == '}') return (m, i + 1)
+        while (true) {
+          val (k, i2) = parseString(s, skipWs(s, i))
+          i = skipWs(s, i2)
+          require(s.charAt(i) == ':', s"expected ':' at $i")
+          val (v, i3) = parse(s, i + 1)
+          m += (k -> v)
+          i = skipWs(s, i3)
+          if (s.charAt(i) == ',') i += 1
+          else { require(s.charAt(i) == '}'); return (m, i + 1) }
+        }
+        throw new IllegalStateException
+      case '[' =>
+        var l = List.empty[Any]
+        i = skipWs(s, i + 1)
+        if (s.charAt(i) == ']') return (l.reverse, i + 1)
+        while (true) {
+          val (v, i2) = parse(s, i)
+          l ::= v
+          i = skipWs(s, i2)
+          if (s.charAt(i) == ',') i += 1
+          else { require(s.charAt(i) == ']'); return (l.reverse, i + 1) }
+        }
+        throw new IllegalStateException
+      case '"' => parseString(s, i)
+      case 't' => (true, i + 4)
+      case 'f' => (false, i + 5)
+      case 'n' => (null, i + 4)
+      case _ =>
+        var j = i
+        while (j < s.length && "+-0123456789.eE".indexOf(s.charAt(j)) >= 0) j += 1
+        (s.substring(i, j).toDouble, j)
+    }
+  }
+
+  private def parseString(s: String, from: Int): (String, Int) = {
+    require(s.charAt(from) == '"')
+    val sb = new StringBuilder
+    var i = from + 1
+    while (s.charAt(i) != '"') {
+      if (s.charAt(i) == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    (sb.toString, i + 1)
+  }
+
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+}
