@@ -1,0 +1,147 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.StageManifest
+import graft.model.{Doc, MatchConfig}
+import graft.pipeline.{Cluster, ErPipeline, Fixtures}
+
+/** The end-to-end record-linkage job (SURVEY.md §3.3 pipeline):
+  *
+  *   docs -> extract(+invariant) -> block -> salted self-join -> mapPartitions
+  *   score -> threshold -> large-star/small-star CC -> clusters
+  *
+  * Every stage lands as parquet under `outDir` and is recorded in the stage
+  * manifest, so a killed run resumes mid-pipeline (including per-iteration CC
+  * checkpoints) and produces byte-identical outputs (BASELINE north_rule).
+  * Lineage rows (stage, partition, row count) and stage metrics are persisted
+  * alongside the data (BASELINE.json:6).
+  */
+object LinkJob {
+
+  case class Summary(
+      docs: Long, records: Long, blocks: Long, pairs: Long,
+      matches: Long, maybes: Long, clusters: Long,
+      droppedBlocks: Long, saltedBlocks: Long)
+
+  def run(
+      spark: SparkSession,
+      docs: Dataset[Doc],
+      config: MatchConfig,
+      outDir: String,
+      pairCfg: ErPipeline.PairConfig = ErPipeline.PairConfig()): Summary = {
+    import spark.implicits._
+    val m = new StageManifest(outDir)
+    val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+
+    // ① extract + clean (invariant asserted per row)
+    val recordsDf = m.stage(spark, "records") {
+      ErPipeline.extract(docs, config).toDF()
+    }
+    val records = recordsDf.as[ErPipeline.CleanRecord]
+
+    // ② blocking keys
+    val blocksDf = m.stage(spark, "blocks") {
+      ErPipeline.block(records).toDF()
+    }
+    val blocks = blocksDf.as[ErPipeline.BlockRow]
+
+    // ③ candidate pairs (salted triangular self-join, skew-capped)
+    var pairStats = ErPipeline.PairStats(0, 0, 0)
+    val pairsDf = m.stage(spark, "pairs") {
+      val (p, st) = ErPipeline.pairs(blocks, pairCfg)
+      pairStats = st
+      metrics += (("pairs", "dropped_blocks", st.droppedBlocks.toDouble))
+      metrics += (("pairs", "dropped_pairs_mass", st.droppedPairsMass))
+      metrics += (("pairs", "salted_blocks", st.saltedBlocks.toDouble))
+      p.toDF()
+    }
+
+    // ④ batched pairwise scoring (mapPartitions)
+    val scoredDf = m.stage(spark, "scored") {
+      ErPipeline.score(pairsDf.as[ErPipeline.PairIds], records, config).toDF()
+    }
+    val scored = scoredDf.as[ErPipeline.ScoredPair]
+
+    // ⑤ classification + match edges
+    val classified = m.stage(spark, "classified") {
+      ErPipeline.classify(scored, config)
+    }
+    val edges = m.stage(spark, "edges") {
+      classified.where($"bucket" === "match").select($"a_id", $"b_id")
+    }
+
+    // ⑥ connected components with per-iteration parquet checkpoints:
+    //    resume continues from the latest cc_iter_<i> present in the manifest.
+    val ccDone = m.completed.keys.filter(_.startsWith("cc_iter_"))
+      .map(_.stripPrefix("cc_iter_").toInt)
+    val (startEdges, startIter) =
+      if (ccDone.isEmpty) (edges, 0)
+      else {
+        val last = ccDone.max
+        (spark.read.parquet(s"$outDir/cc_iter_$last"), last)
+      }
+    val clustersDf = m.stage(spark, "clusters") {
+      val labeled = Cluster.connectedComponents(
+        startEdges,
+        onIteration = (i, df) => m.stage(spark, s"cc_iter_${startIter + i}")(df))
+      // singletons keep their own id as cluster label
+      val allIds = records.select($"doc_id")
+      allIds.join(labeled, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    }
+
+    // ⑦ lineage: per-partition row counts of every persisted stage
+    //    (partition provenance — which task wrote how many rows of each output)
+    val lineage = m.stage(spark, "lineage") {
+      Seq("records", "blocks", "pairs", "scored", "classified", "edges", "clusters")
+        .map { s =>
+          spark.read.parquet(s"$outDir/$s")
+            .groupBy(spark_partition_id().as("partition_id"))
+            .agg(count("*").as("rows"))
+            .select(lit(s).as("stage"), $"partition_id", $"rows")
+        }.reduce(_ union _)
+    }
+
+    val counts = Map(
+      "docs" -> docs.count(),
+      "records" -> recordsDf.count(),
+      "blocks" -> blocksDf.count(),
+      "pairs" -> pairsDf.count(),
+      "matches" -> classified.where($"bucket" === "match").count(),
+      "maybes" -> classified.where($"bucket" === "maybe").count(),
+      "clusters" -> clustersDf.select($"cluster_id").distinct().count())
+    counts.foreach { case (k, v) => metrics += (("job", k, v.toDouble)) }
+
+    m.stage(spark, "metrics") {
+      metrics.toSeq.toDF("stage", "metric", "value")
+    }
+
+    Summary(
+      docs = counts("docs"), records = counts("records"), blocks = counts("blocks"),
+      pairs = counts("pairs"), matches = counts("matches"), maybes = counts("maybes"),
+      clusters = counts("clusters"),
+      droppedBlocks = pairStats.droppedBlocks, saltedBlocks = pairStats.saltedBlocks)
+  }
+
+  /** spark-submit entry: LinkJob <outDir> [nEntities=1000] [master]. */
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft-link")
+    val nEntities = args.lift(1).map(_.toLong).getOrElse(1000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-link")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Fixtures.docs(spark, nEntities)
+    val s = run(spark, docs, MatchConfig.fixture, outDir)
+    println(s"[link] $s")
+    spark.stop()
+  }
+}

@@ -50,9 +50,14 @@ object MatchConfig {
     maybeThreshold = 0.7,
     properties = Seq(
       PropertySpec("name", Seq("trim", "lowercase-normalize"), "jaro-winkler", 0.1, 0.95),
-      PropertySpec("address", Seq("trim", "lowercase-normalize"), "qgram", 0.25, 0.9),
-      PropertySpec("phone", Seq("digits-only"), "exact", 0.3, 0.98),
-      PropertySpec("media", Nil, "exact", 0.4, 0.9)))
+      // q=3 grams: same-city different-street addresses stay below sim 0.5,
+      // abbreviation-noise duplicates stay above (calibrated on the fixture)
+      PropertySpec("address", Seq("trim", "lowercase-normalize"), "qgram", 0.2, 0.9,
+        params = Seq(3.0, 1.0)),
+      // phones and media refs are identifiers: a present-on-both-sides mismatch
+      // is strong negative evidence (low far below 0.5)
+      PropertySpec("phone", Seq("digits-only"), "exact", 0.05, 0.98),
+      PropertySpec("media", Nil, "exact", 0.15, 0.9)))
 
   /** Parse the plugin-style JSON config (SURVEY.md §1.2) without external JSON
     * deps: minimal recursive-descent over the fixture subset of JSON.

@@ -1,0 +1,216 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cleaners, Duke, Phonetics}
+import graft.model.{Doc, MatchConfig}
+
+/** The distributed re-expression of the reference's retrieve->score->decide
+  * lifecycle (SURVEY.md §3.3): extract -> clean -> block (salted) -> self-join ->
+  * batched mapPartitions scoring -> threshold classification. Each stage is a
+  * narrow/declarative Dataset transform; shuffles happen only at the blocking
+  * join and the pair dedup, both on explicitly chosen keys.
+  */
+object ErPipeline {
+
+  /** Flat cleaned record (Duke Record analog `[D Record.java]`): doc_id +
+    * multi-valued property map, values already cleaned map-side (each record is
+    * cleaned once — not once per candidate pair).
+    */
+  case class CleanRecord(doc_id: String, props: Map[String, Seq[String]])
+
+  case class BlockRow(doc_id: String, key: String)
+  case class PairIds(a_id: String, b_id: String, block_key: String)
+  case class ScoredPair(a_id: String, b_id: String, block_key: String, score: Double)
+
+  // ------------------------------------------------------------------ extract
+
+  /** Per-row span-sequence invariant (BASELINE.json input_hint): offsets strictly
+    * increasing (the `(kind, text, media_ref, order)` sequence is well-defined)
+    * and span shape by kind — media spans carry media_ref and no text, text-like
+    * spans the reverse. Throws on first violation (ingest gate); see
+    * `invariantViolations` for the counting variant.
+    */
+  def assertInvariant(doc: Doc): Doc = {
+    var prev = Int.MinValue
+    doc.spans.foreach { s =>
+      require(s.offset > prev, s"doc ${doc.doc_id}: span offsets not strictly increasing")
+      prev = s.offset
+      if (s.kind == "media")
+        require(s.media_ref != null && s.text == null,
+          s"doc ${doc.doc_id}: media span must carry media_ref only")
+      else
+        require(s.text != null && s.media_ref == null,
+          s"doc ${doc.doc_id}: ${s.kind} span must carry text only")
+    }
+    doc
+  }
+
+  /** Declarative violation counter over the raw docs table (test/metrics use). */
+  def invariantViolations(docs: DataFrame): Long = {
+    val offsets = expr("transform(spans, s -> s.offset)")
+    val increasing = expr(
+      "forall(zip_with(slice(transform(spans, s -> s.offset), 1, size(spans)-1)," +
+        " slice(transform(spans, s -> s.offset), 2, size(spans)-1)," +
+        " (a, b) -> b > a), x -> x)")
+    val shapeOk = expr(
+      "forall(spans, s -> IF(s.kind = 'media', s.media_ref is not null and s.text is null," +
+        " s.text is not null and s.media_ref is null))")
+    docs.where(!(coalesce(increasing, lit(true)) && shapeOk)).count()
+  }
+
+  /** spans -> flat multi-valued Duke record, cleaned per the config's cleaner
+    * chains (SURVEY.md §1.4: properties extracted from spans by `kind`; media
+    * spans contribute `media_ref`, text spans `text`). One typed pass: invariant
+    * assert + extract + clean, no shuffle.
+    */
+  def extract(docs: Dataset[Doc], config: MatchConfig): Dataset[CleanRecord] = {
+    import docs.sparkSession.implicits._
+    val cc = Duke.compile(config)
+    val propNames = config.properties.map(_.name)
+    docs.mapPartitions { it =>
+      it.map { doc0 =>
+        val doc = assertInvariant(doc0)
+        val byKind = doc.spans.groupBy(_.kind)
+        val props = propNames.map { p =>
+          val raw = byKind.getOrElse(p, Nil).map(s => if (p == "media") s.media_ref else s.text)
+          p -> raw
+        }.toMap
+        val cleaned = cc.clean(graft.model.EntityRecord(doc.doc_id, props))
+        CleanRecord(cleaned.doc_id, cleaned.props)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ blocking
+
+  /** Blocking-key generation (the Spark replacement for ES/Lucene candidate
+    * retrieval — SURVEY.md §2.6 J3): recall-oriented keys from cleaned values.
+    * Default keyers mirror a Duke lookup-property setup: surname soundex +
+    * exact phone digits. Multiple keys per doc; the same function defines the
+    * "same blocking key" for the labeled pairs (BASELINE.json:2).
+    */
+  def blockKeys(rec: CleanRecord): Seq[String] = {
+    val names = rec.props.getOrElse("name", Nil)
+    val phones = rec.props.getOrElse("phone", Nil)
+    val nameKeys = names.flatMap { n =>
+      val toks = n.split(' ')
+      if (toks.isEmpty || toks.last.isEmpty) Nil
+      else Seq("n:" + Phonetics.soundex(toks.last))
+    }
+    val phoneKeys = phones.filter(_.length >= 5).map("p:" + _)
+    (nameKeys ++ phoneKeys).distinct
+  }
+
+  def block(records: Dataset[CleanRecord]): Dataset[BlockRow] = {
+    import records.sparkSession.implicits._
+    records.flatMap(r => blockKeys(r).map(k => BlockRow(r.doc_id, k)))
+  }
+
+  // ------------------------------------------------------------------ pair generation
+
+  /** Skew controls (SURVEY.md §7.4 / BASELINE north_rule "skew handled
+    * explicitly"):
+    *  - `maxBlockSize`: blocks larger than this are dropped entirely (quadratic
+    *    blowup guard); the dropped mass is reported, never silently truncated.
+    *  - `saltThreshold`: blocks larger than this are split into
+    *    ceil(size/saltThreshold) salt buckets; the self-join runs per
+    *    triangular bucket-cell so every cross-salt pair is still produced
+    *    exactly once while no single task sees the whole hot block.
+    */
+  case class PairConfig(saltThreshold: Int = 256, maxBlockSize: Int = 100000)
+
+  case class PairStats(droppedBlocks: Long, droppedPairsMass: Double, saltedBlocks: Long)
+
+  /** Candidate pairs via salted triangular self-join (J1): each (doc, key, salt u)
+    * row is replicated to the bucket-cells {(u,j): j >= u} on the left side and
+    * {(i,u): i <= u} on the right; joining left x right on (key, cell) yields
+    * every unordered pair exactly once (id-order dedup applies only to the
+    * diagonal cells). Pairs co-occurring under several keys are deduplicated by
+    * (a_id, b_id) keeping the smallest key.
+    */
+  def pairs(
+      blocks: Dataset[BlockRow],
+      cfg: PairConfig = PairConfig()): (Dataset[PairIds], PairStats) = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+
+    val keyCounts = blocks.groupBy($"key").agg(count("*").as("n"))
+    val dropped = keyCounts.filter($"n" > cfg.maxBlockSize)
+      .agg(count("*").as("blocks"),
+        coalesce(sum(($"n" * ($"n" - 1) / 2).cast("double")), lit(0.0)).as("mass"))
+      .collect()(0)
+    val stats0 = (dropped.getLong(0), dropped.getDouble(1))
+
+    // salts per key: 1 for normal keys, ceil(n/threshold) for hot keys
+    val salted = keyCounts
+      .filter($"n" <= cfg.maxBlockSize)
+      .withColumn("salts",
+        when($"n" > cfg.saltThreshold, ceil($"n" / cfg.saltThreshold).cast("int"))
+          .otherwise(lit(1)))
+    val nSalted = salted.filter($"salts" > 1).count()
+
+    val withSalt = blocks.join(broadcast(salted.select($"key", $"salts")), "key")
+      .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
+
+    // triangular replication
+    val left = withSalt.withColumn("cj", explode(sequence($"salt", $"salts" - 1)))
+      .select($"key", $"doc_id".as("a_id"), $"salt".as("ci"), $"cj")
+    val right = withSalt.withColumn("ci", explode(sequence(lit(0), $"salt")))
+      .select($"key", $"doc_id".as("b_id"), $"ci", $"salt".as("cj"))
+
+    val joined = left.join(right, Seq("key", "ci", "cj"))
+      .where(($"ci" =!= $"cj") || ($"a_id" < $"b_id"))
+      .select(
+        least($"a_id", $"b_id").as("a_id"),
+        greatest($"a_id", $"b_id").as("b_id"),
+        $"key")
+    val deduped = joined.groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
+      .as[PairIds]
+    (deduped, PairStats(stats0._1, stats0._2, nSalted))
+  }
+
+  // ------------------------------------------------------------------ scoring
+
+  /** Batched pairwise scoring in mapPartitions (mandated by BASELINE.json:6):
+    * the compiled config (cleaner chains + comparator dispatch resolved once)
+    * scores a whole partition's pairs in a tight JVM loop — the distributed
+    * analog of `EntityResolutionScript.runAsDouble` over an ES shard's
+    * candidate iterator (SURVEY.md §3.1).
+    *
+    * Joins pair ids back to records on doc_id (two shuffle hash joins; records
+    * are pre-cleaned so no string work happens here).
+    */
+  def score(
+      pairIds: Dataset[PairIds],
+      records: Dataset[CleanRecord],
+      config: MatchConfig): Dataset[ScoredPair] = {
+    val spark = pairIds.sparkSession
+    import spark.implicits._
+    val cc = Duke.compile(config)
+
+    val a = records.toDF("a_id", "a_props")
+    val b = records.toDF("b_id", "b_props")
+    val joined = pairIds.join(a, "a_id").join(b, "b_id")
+      .select($"a_id", $"b_id", $"block_key", $"a_props", $"b_props")
+      .as[(String, String, String, Map[String, Seq[String]], Map[String, Seq[String]])]
+
+    joined.mapPartitions { it =>
+      it.map { case (aId, bId, key, ap, bp) =>
+        ScoredPair(aId, bId, key, cc.score(ap, bp))
+      }
+    }
+  }
+
+  /** Threshold classification (P4): match / maybe buckets. */
+  def classify(scored: Dataset[ScoredPair], config: MatchConfig): DataFrame =
+    scored.withColumn("bucket",
+      when(col("score") >= config.threshold, "match")
+        .when(col("score") >= config.maybeThreshold, "maybe")
+        .otherwise("no-match"))
+
+  /** Match edges feeding connected components. */
+  def matchEdges(scored: Dataset[ScoredPair], config: MatchConfig): DataFrame =
+    scored.filter(col("score") >= config.threshold).select(col("a_id"), col("b_id"))
+}
