@@ -54,7 +54,10 @@ object Similarity {
       }
       i += 1
     }
-    val tr = t / 2.0
+    // transposition count floors the half-count (t/2 integer), matching the
+    // widespread implementations (commons-text, rapidfuzz/DuckDB) — pinned by
+    // the golden vectors, which are unaffected (their mismatch counts are even)
+    val tr = (t / 2).toDouble
     (m.toDouble / s1.length + m.toDouble / s2.length + (m - tr) / m) / 3.0
   }
 
@@ -213,6 +216,17 @@ object Similarity {
   }
 
   def qgramDice(s1: String, s2: String): Double = qgramSim(s1, s2, 2, FormulaDice)
+
+  /** Double-parameter overloads: codegen emits literal double args uniformly
+    * (`graft.expr.SimExpr#doGenCode`), so every parameterized comparator needs a
+    * (String, String, Double*) static entry point.
+    */
+  def qgramSimD(s1: String, s2: String, q: Double, formula: Double): Double =
+    qgramSim(s1, s2, q.toInt, formula.toInt)
+  def weightedLevenshteinSimD(s1: String, s2: String, digitWeight: Double): Double =
+    weightedLevenshteinSim(s1, s2, digitWeight)
+  def geoSimD(p1: String, p2: String, maxMeters: Double): Double =
+    geoSim(p1, p2, maxMeters)
 
   private def setSim(a: Set[String], b: Set[String], formula: Int): Double = {
     val inter = a.count(b.contains).toDouble

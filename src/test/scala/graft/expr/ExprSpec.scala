@@ -35,6 +35,34 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("every comparator expression codegens (no interpreter fallback)") {
+    // CODEGEN_ONLY makes janino failures throw instead of silently falling back
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = pairs.select(
+        sim_jaro_winkler(col("a"), col("b")),
+        sim_jaro(col("a"), col("b")),
+        sim_levenshtein(col("a"), col("b")),
+        sim_levenshtein_cutoff(col("a"), col("b")),
+        sim_weighted_levenshtein(col("a"), col("b"), 2.0),
+        sim_qgram(col("a"), col("b"), 2, 1),
+        sim_qgram(col("a"), col("b"), 3, 2),
+        sim_dice(col("a"), col("b")),
+        sim_jaccard(col("a"), col("b")),
+        sim_numeric(col("a"), col("b")),
+        sim_geoposition(col("a"), col("b"), 1000.0),
+        sim_soundex(col("a"), col("b")),
+        sim_metaphone(col("a"), col("b")),
+        sim_norphone(col("a"), col("b")),
+        sim_person_name(col("a"), col("b")),
+        sim_lcs(col("a"), col("b")),
+        sim_exact(col("a"), col("b")),
+        clean("lowercase-normalize", col("a")),
+        soundex_code(col("a")), metaphone_code(col("a")), norphone_code(col("a"))).collect()
+      assert(rows.length > 0)
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("null propagation: null side -> null sim") {
     val df = spark.sql("select cast(null as string) a, 'x' b")
     assert(df.select(sim_jaro_winkler(col("a"), col("b"))).collect()(0).isNullAt(0))
