@@ -55,7 +55,10 @@ object SparkEntry {
     Cluster.connectedComponents(edges)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ trainingQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- cleaners (C1-C3, SURVEY.md §2.3) ----------------
     "q_cleaner_chain" -> ((s, dir) => {
@@ -202,7 +205,9 @@ object SparkEntry {
         .where(col("n") >= 1)
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles ++ trainingOracles
+
+  private def baseOracles: Map[String, String] = Map(
     "q_cleaner_chain" ->
       """SELECT c_custkey,
         |       trim(regexp_replace(lower(strip_accents(trim(c_name))), '[^a-z0-9]+', ' ', 'g')) AS norm_name
@@ -327,4 +332,249 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin)
+
+  // ================= training-data pipeline ops (dedup / simsearch / text / multimodal) =================
+
+  import TrainingOps._
+
+  private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Document fingerprinting: deterministic rolling hash per doc. */
+    "q_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr("doc_id", s"${fpSqlSpark("text")} AS fp")
+    }),
+
+    /** MinHash signatures (8) over word-3-shingle sets. */
+    "q_minhash_signatures" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"$shingleFpsSpark AS fps")
+        .selectExpr(Seq("doc_id") ++ (0 until 8).map(i =>
+          s"array_min(transform(fps, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007)) AS mh$i"): _*)
+    }),
+
+    /** MinHash-LSH near-dup candidate pairs: 4 bands of 2 signatures; verified
+      * with true shingle-set Jaccard >= 0.8 (shingle -> minhash -> band ->
+      * bucket-join -> verify).
+      */
+    "q_lsh_near_dup_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bandExprs = (0 until nBands).map(j =>
+        s"(array_min(transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
+          s" + array_min(transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j")
+      val sigs = docs.selectExpr("doc_id", s"$shingleFpsSpark AS fps")
+        .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*)
+      val bands = sigs.selectExpr("doc_id", "fps",
+        s"posexplode(array(${(0 until nBands).map(j => s"band$j").mkString(",")})) AS (band_ix, band_val)")
+        .select(col("doc_id"), col("fps"), col("band_ix"), col("band_val"))
+      val a = bands.select(col("doc_id").as("a_id"), col("fps").as("fa"), col("band_ix"), col("band_val"))
+      val b = bands.select(col("doc_id").as("b_id"), col("fps").as("fb"), col("band_ix"), col("band_val"))
+      a.join(b, Seq("band_ix", "band_val")).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("fa"), col("fb")).distinct()
+        .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+        .withColumn("jacc_micro", expr(
+          "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
+        .where(col("jacc_micro") >= 800000)
+        .select(col("a_id"), col("b_id"), col("jacc_micro"))
+        .distinct()
+    }),
+
+    /** SimHash (16-bit) over distinct token fingerprints. */
+    "q_simhash" -> ((s, dir) => {
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN aggregate(tokfps, CAST(0 AS BIGINT)," +
+          s" (acc, f) -> acc + 2 * (CAST(shiftright(f, $b) AS BIGINT) & 1) - 1) > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"array_distinct(transform($toksSpark, t -> ${fpSqlSpark("t")})) AS tokfps")
+        .selectExpr("doc_id", s"CAST($bits AS BIGINT) AS simhash")
+    }),
+
+    /** n-gram Jaccard near-dup scoring between consecutive docs (char trigrams). */
+    "q_ngram_jaccard" -> ((s, dir) => {
+      def g3(c: String) =
+        s"CASE WHEN length($c) < 3 THEN array($c) ELSE " +
+          s"array_distinct(transform(sequence(1, length($c) - 2), i -> substring($c, i, 3))) END"
+      val d = t(s, dir, "documents")
+      val a = d.selectExpr("doc_id AS a_id", s"${g3("text")} AS ga")
+      val b = d.selectExpr("doc_id AS b_id", s"${g3("text")} AS gb")
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .selectExpr("a_id", "b_id",
+          "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(ga) + size(gb) - inter) * 1e6 + 0.5) AS BIGINT) AS jacc_micro")
+    }),
+
+    /** Brute-force cosine top-k (the ANN baseline): 8 query vectors vs all. */
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
+      q.crossJoin(c).where(col("qid") =!= col("cid"))
+        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("qv", "cv")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
+    }),
+
+    /** Sign-LSH bucketed ANN (the scale path): 4 deterministic hyperplanes ->
+      * 16 buckets; search only within the query's bucket.
+      */
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding", s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
+      q.join(c, "bucket").where(col("qid") =!= col("cid"))
+        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("qv", "cv")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("qid"), col("bucket"), col("cid"), col("rk").cast("long"), col("cos_micro"))
+    }),
+
+    /** Language ID: stopword-hit argmax heuristic. */
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"CAST(${langHitsSpark("en")} AS BIGINT) AS en_hits",
+        s"CAST(${langHitsSpark("es")} AS BIGINT) AS es_hits",
+        s"${langIdSql(langHitsSpark)} AS lang_guess")
+    }),
+
+    /** Quality scoring: token counts, alpha/stopword ratios, composite score
+      * (rational arithmetic only — no transcendentals, oracle-reproducible).
+      */
+    "q_quality_score" -> ((s, dir) => {
+      val nTok = s"size($toksSpark)"
+      val nAlpha = s"size(filter($toksSpark, x -> x rlike '^[a-z]+$$'))"
+      val stop = langHitsSpark("en")
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"CAST($nTok AS BIGINT) AS n_tokens",
+        s"CAST(FLOOR(CAST($nAlpha AS DOUBLE) / $nTok * 1e6 + 0.5) AS BIGINT) AS alpha_ratio_micro",
+        s"CAST(FLOOR((LEAST($nTok, 100) / 100.0 * 0.5 + CAST($stop AS DOUBLE) / $nTok * 0.3" +
+          s" + CAST($nAlpha AS DOUBLE) / $nTok * 0.2) * 1e6 + 0.5) AS BIGINT) AS quality_micro")
+    }),
+
+    /** Token counting: whitespace tokens + BPE-ish word tokens + chars. */
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"CAST(size($toksSpark) AS BIGINT) AS n_ws_tokens",
+        s"CAST(size(filter($toksSpark, x -> x rlike '^[a-z]+$$')) AS BIGINT) AS n_alpha_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+    }),
+
+    /** Multimodal plumbing: opaque binary column + typed metadata; the decode
+      * step is a deterministic stub (no media libs in this container), the
+      * schema/partitioning/batching are real (see graft.pipeline.Media).
+      */
+    "q_media_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS media_bytes")
+        .selectExpr(
+          "doc_id",
+          "CAST(octet_length(media_bytes) AS BIGINT) AS n_bytes",
+          "CASE CAST(octet_length(media_bytes) % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+          "CAST(octet_length(media_bytes) % 640 AS BIGINT) AS fake_width",
+          "CAST(octet_length(media_bytes) % 480 AS BIGINT) AS fake_height")
+    }))
+
+  private def trainingOracles: Map[String, String] = Map(
+    "q_doc_fingerprint" ->
+      s"SELECT doc_id, ${fpSqlDuck("text")} AS fp FROM documents",
+    "q_minhash_signatures" ->
+      s"""SELECT doc_id, ${(0 until 8).map(i =>
+        s"list_min(list_transform(fps, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007)) AS mh$i").mkString(", ")}
+         |FROM (SELECT doc_id, $shingleFpsDuck AS fps FROM documents)""".stripMargin,
+    "q_lsh_near_dup_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, fps, ${(0 until nBands).map(j =>
+        s"(list_min(list_transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
+          s" + list_min(list_transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j").mkString(", ")}
+         |  FROM (SELECT doc_id, $shingleFpsDuck AS fps FROM documents)),
+         |bands AS (${(0 until nBands).map(j =>
+        s"SELECT doc_id, fps, $j AS band_ix, band$j AS band_val FROM sigs").mkString(" UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fps AS fa, b.fps AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band_ix = b.band_ix AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT a_id, b_id,
+         |       CAST(FLOOR(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
+         |         / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) AS jacc_micro
+         |FROM cand
+         |WHERE CAST(FLOOR(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
+         |  / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) >= 800000""".stripMargin,
+    "q_simhash" -> {
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN list_sum(list_transform(tokfps, f -> 2 * ((f >> $b) & 1) - 1)) > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, list_distinct(list_transform($toksDuck, t -> ${fpSqlDuck("t")})) AS tokfps
+         |      FROM documents)""".stripMargin
+    },
+    "q_ngram_jaccard" -> {
+      def g3(c: String) =
+        s"CASE WHEN length($c) < 3 THEN [$c] ELSE " +
+          s"list_distinct(list_transform(generate_series(1, length($c) - 2), i -> substr($c, i, 3))) END"
+      s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(FLOOR(CAST(len(list_intersect(${g3("a.text")}, ${g3("b.text")})) AS DOUBLE)
+         |    / (len(${g3("a.text")}) + len(${g3("b.text")}) - len(list_intersect(${g3("a.text")}, ${g3("b.text")})))
+         |    * 1e6 + 0.5) AS BIGINT) AS jacc_micro
+         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin
+    },
+    "q_embed_cosine_topk" ->
+      s"""SELECT qid, cid, rk, cos_micro FROM (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) DESC,
+         |                    c.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 5""".stripMargin,
+    "q_embed_ann_lsh" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT qid, bucket, cid, rk, cos_micro FROM (
+         |  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS cid,
+         |         CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) DESC,
+         |                    c.vec_id) AS rk
+         |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |WHERE rk <= 3""".stripMargin,
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+         |  CAST(${langHitsDuck("en")} AS BIGINT) AS en_hits,
+         |  CAST(${langHitsDuck("es")} AS BIGINT) AS es_hits,
+         |  ${langIdSql(langHitsDuck)} AS lang_guess
+         |FROM documents""".stripMargin,
+    "q_quality_score" -> {
+      val nTok = s"len($toksDuck)"
+      val nAlpha = s"len(list_filter($toksDuck, x -> regexp_full_match(x, '[a-z]+')))"
+      val stop = langHitsDuck("en")
+      s"""SELECT doc_id,
+         |  CAST($nTok AS BIGINT) AS n_tokens,
+         |  CAST(FLOOR(CAST($nAlpha AS DOUBLE) / $nTok * 1e6 + 0.5) AS BIGINT) AS alpha_ratio_micro,
+         |  CAST(FLOOR((LEAST($nTok, 100) / 100.0 * 0.5 + CAST($stop AS DOUBLE) / $nTok * 0.3
+         |    + CAST($nAlpha AS DOUBLE) / $nTok * 0.2) * 1e6 + 0.5) AS BIGINT) AS quality_micro
+         |FROM documents""".stripMargin
+    },
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksDuck) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(list_filter($toksDuck, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE CAST(octet_length(encode(text)) % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` / `embeddings` tables
+  * (builder-prompt mandate: dedup, similarity search, text analysis, multimodal
+  * plumbing — first-class alongside SURVEY.md §2).
+  *
+  * Every op is declarative (higher-order functions, codegen'd) and arithmetic-
+  * deterministic so a DuckDB oracle can reproduce it bit-for-bit: rolling-hash
+  * fingerprints instead of engine-specific hash(), per-element double casts
+  * before FP math, micro-rounded outputs.
+  */
+object TrainingOps {
+
+  /** Rolling-hash fingerprint of a string expression (document fingerprinting /
+    * shingle hashing): fold (acc*31 + ascii) % 1000000007 — expressible in both
+    * engines, overflow-free in 64 bits.
+    */
+  def fpSqlSpark(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"aggregate(transform(sequence(1, length($e)), i -> ascii(substring($e, i, 1)))," +
+      s" CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) END"
+
+  def fpSqlDuck(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"list_reduce(list_concat([CAST(0 AS BIGINT)]," +
+      s" list_transform(generate_series(1, length($e)), i -> CAST(ascii(substr($e, i, 1)) AS BIGINT)))," +
+      s" (a, b) -> (a * 31 + b) % 1000000007) END"
+
+  val toksSpark = "filter(split(text, ' '), x -> x <> '')"
+  val toksDuck = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** Word 3-shingles over the token array (MinHash input). */
+  val shinglesSpark: String =
+    s"CASE WHEN size($toksSpark) < 3 THEN array(text) ELSE " +
+      s"transform(sequence(1, size($toksSpark) - 2)," +
+      s" i -> concat_ws(' ', element_at($toksSpark, i), element_at($toksSpark, i + 1)," +
+      s" element_at($toksSpark, i + 2))) END"
+  val shinglesDuck: String =
+    s"CASE WHEN len($toksDuck) < 3 THEN [text] ELSE " +
+      s"list_transform(generate_series(1, len($toksDuck) - 2)," +
+      s" i -> ($toksDuck)[i] || ' ' || ($toksDuck)[i+1] || ' ' || ($toksDuck)[i+2]) END"
+
+  /** Distinct shingle fingerprints (the MinHash universe of one doc). */
+  val shingleFpsSpark: String =
+    s"array_distinct(transform($shinglesSpark, s0 -> ${fpSqlSpark("s0")}))"
+  val shingleFpsDuck: String =
+    s"list_distinct(list_transform($shinglesDuck, s0 -> ${fpSqlDuck("s0")}))"
+
+  /** MinHash signature i: min over shingle fps of (a_i*fp + b_i) mod P. */
+  def minhashSpark(i: Int): String =
+    s"array_min(transform($shingleFpsSpark, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007))"
+  def minhashDuck(i: Int): String =
+    s"list_min(list_transform($shingleFpsDuck, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007))"
+
+  val nBands = 4 // 8 signatures, 2 per band
+
+  // -------- embeddings --------
+  /** Cosine similarity between two array<float> columns, computed in double,
+    * strict left-to-right: identical FP bits in both engines.
+    */
+  def cosSpark(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE))," +
+        s" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+  def cosDuck(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($x))," +
+        s" i -> CAST(($x)[i] AS DOUBLE) * CAST(($y)[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Deterministic integer hyperplanes for sign-LSH: h_j[i] = ((i*31 + j*17) % 7) - 3. */
+  def lshBucketSpark(v: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val dot = s"aggregate(zip_with($v, transform(sequence(1, size($v)), i -> CAST(((i * 31 + ${j * 17}) % 7) - 3 AS DOUBLE))," +
+        s" (p, h) -> CAST(p AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+  def lshBucketDuck(v: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val dot = s"list_sum(list_transform(generate_series(1, len($v))," +
+        s" i -> CAST(($v)[i] AS DOUBLE) * (((i * 31 + ${j * 17}) % 7) - 3)))"
+      s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // -------- text analysis --------
+  val langWords = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  def langHitsSpark(lang: String): String = {
+    val set = langWords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter($toksSpark, x -> x IN ($set)))"
+  }
+  def langHitsDuck(lang: String): String = {
+    val set = langWords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksDuck, x -> x IN ($set)))"
+  }
+
+  /** argmax with fixed tie order en > es > de > fr, 'und' when all zero. */
+  def langIdSql(hits: String => String): String = {
+    val h = langWords.map { case (l, _) => l -> hits(l) }.toMap
+    s"""CASE
+       | WHEN ${h("en")} = 0 AND ${h("es")} = 0 AND ${h("de")} = 0 AND ${h("fr")} = 0 THEN 'und'
+       | WHEN ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("fr")} THEN 'en'
+       | WHEN ${h("es")} >= ${h("de")} AND ${h("es")} >= ${h("fr")} THEN 'es'
+       | WHEN ${h("de")} >= ${h("fr")} THEN 'de'
+       | ELSE 'fr' END""".stripMargin
+  }
+}
