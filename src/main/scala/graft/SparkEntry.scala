@@ -203,6 +203,99 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("text_md5"))
         .agg(count("*").as("n"), min(col("doc_id")).as("keep_id"))
         .where(col("n") >= 1)
+    }),
+
+    // ---------------- more cleaners (C4, C5, C7 — §2.3) ----------------
+    "q_cleaner_phone" -> ((s, dir) => {
+      // testdata carries no phone column: synthesize a deterministic dirty
+      // phone string (same expression in the DuckDB oracle)
+      val raw = format_string("(00%d) %d-%d",
+        col("c_nationkey"), col("c_custkey"), col("c_custkey") * 3 + 7)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        clean("phone-number", raw).as("phone_norm"))
+    }),
+    "q_cleaner_family_comma" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        clean("family-comma-given",
+          concat(col("c_name"), lit(", "), col("c_mktsegment"))).as("fcg"))
+    }),
+    "q_cleaner_company" -> ((s, dir) => {
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        clean("company-name", concat(col("s_name"), lit(" LLC"))).as("company_norm"))
+    }),
+
+    // ---------------- sorted-neighborhood blocking (J4, §2.6) ----------------
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // window w=2 over names sorted by normalized key: each doc pairs with
+      // the next 2 in sort order — Duke InMemoryBlockingDatabase semantics
+      val norm = clean_chain(Seq("trim", "lowercase-normalize"), col("c_name"))
+      val w = Window.orderBy(col("k"), col("c_custkey"))
+      val ranked = t(s, dir, "customer")
+        .select(col("c_custkey"), norm.as("k"))
+        .withColumn("rn", row_number().over(w))
+      val a = ranked.select(col("c_custkey").as("a_id"), col("rn"))
+      val b = ranked.select(col("c_custkey").as("b_id"), col("rn").as("rn_b"))
+      a.join(b, col("rn_b") - col("rn") >= 1 && col("rn_b") - col("rn") <= 2)
+        .select(col("a_id"), col("b_id"))
+    }),
+
+    // ---------------- best match via aggregation (G2, §2.7) ----------------
+    "q_best_match_agg" -> ((s, dir) => {
+      val jw = micro(sim_jaro_winkler(col("c_name"), col("s_name")))
+      val scored = pairSet(s, dir)
+        .where(sim_jaro(col("c_name"), col("s_name")) > 0.7)
+        .select(col("c_custkey"), col("s_suppkey"), jw.as("jw_micro"))
+      val best = scored.groupBy(col("c_custkey")).agg(max(col("jw_micro")).as("best_micro"))
+      scored.alias("s").join(best.alias("b"),
+        col("s.c_custkey") === col("b.c_custkey") && col("s.jw_micro") === col("b.best_micro"))
+        .groupBy(col("s.c_custkey").as("c_custkey"), col("b.best_micro").as("best_micro"))
+        .agg(min(col("s.s_suppkey")).as("best_suppkey"))
+    }),
+
+    // ---------------- regexp cleaner (C9) + set ops (G7) ----------------
+    "q_cleaner_regexp" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_digits"))
+    }),
+    "q_set_ops" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val nonBuyers = all.exceptAll(buyers)
+      all.intersect(buyers).withColumn("kind", lit("buyer"))
+        .unionByName(nonBuyers.withColumn("kind", lit("non_buyer")))
+    }),
+
+    // ---------------- comparators without an exact DuckDB twin (rows-only) ----------------
+    "q_pair_soundex_phonetic" -> ((s, dir) => {
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        soundex_code(col("c_name")).as("sdx_a"),
+        micro(sim_soundex(col("c_name"), col("s_name"))).as("sdx_eq_micro"),
+        micro(sim_metaphone(col("c_name"), col("s_name"))).as("mp_eq_micro"),
+        micro(sim_norphone(col("c_name"), col("s_name"))).as("np_eq_micro"))
+    }),
+    "q_pair_advanced_sims" -> ((s, dir) => {
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_person_name(col("c_name"), col("s_name"))).as("person_micro"),
+        micro(sim_jaro_winkler_tokenized(col("c_name"), col("s_name"))).as("jwt_micro"),
+        micro(sim_weighted_levenshtein(col("c_name"), col("s_name"), 2.0)).as("wlev_micro"),
+        micro(sim_lcs(col("c_name"), col("s_name"))).as("lcs_micro"))
+    }),
+    "q_pair_geo" -> ((s, dir) => {
+      // synthetic deterministic "lat,lon" strings from acctbal/nationkey
+      val ga = concat(round(col("c_acctbal") / lit(200.0), 4).cast("string"), lit(","),
+        (col("c_nationkey") * 3).cast("string"))
+      val gb = concat(round(col("s_acctbal") / lit(200.0), 4).cast("string"), lit(","),
+        (col("s_nationkey") * 3).cast("string"))
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_geoposition(ga, gb, 500000.0)).as("geo_micro"))
     }))
 
   def oracleSql: Map[String, String] = baseOracles ++ trainingOracles
@@ -331,7 +424,58 @@ object SparkEntry {
         |WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 2)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_cleaner_phone" -> {
+      val raw = "printf('(00%d) %d-%d', c_nationkey, c_custkey, c_custkey * 3 + 7)"
+      val digits = s"regexp_replace($raw, '[^0-9]', '', 'g')"
+      s"""SELECT c_custkey,
+         |       CASE WHEN $digits LIKE '00%' THEN substr($digits, 3) ELSE $digits END AS phone_norm
+         |FROM customer""".stripMargin
+    },
+    "q_cleaner_family_comma" -> {
+      val s = "(c_name || ', ' || c_mktsegment)"
+      def norm(c: String) =
+        s"trim(regexp_replace(lower(strip_accents(trim($c))), '[^a-z0-9]+', ' ', 'g'))"
+      s"""SELECT c_custkey,
+         |  ${norm(s"substr($s, position(',' IN $s) + 1) || ' ' || substr($s, 1, position(',' IN $s) - 1)")} AS fcg
+         |FROM customer""".stripMargin
+    },
+    "q_cleaner_company" -> {
+      val norm =
+        "trim(regexp_replace(lower(strip_accents(trim(s_name || ' LLC'))), '[^a-z0-9]+', ' ', 'g'))"
+      s"""SELECT s_suppkey,
+         |  array_to_string(list_filter(string_split($norm, ' '),
+         |    t -> t NOT IN ('as','asa','ab','ba','ans','da','inc','llc','ltd','gmbh','sa','co','corp')), ' ') AS company_norm
+         |FROM supplier""".stripMargin
+    },
+    "q_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey,
+        |         row_number() OVER (
+        |           ORDER BY trim(regexp_replace(lower(strip_accents(trim(c_name))), '[^a-z0-9]+', ' ', 'g')),
+        |                    c_custkey) AS rn
+        |  FROM customer)
+        |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        |FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2""".stripMargin,
+    "q_cleaner_regexp" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS id_digits
+        |FROM customer""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_custkey AS custkey, 'buyer' AS kind FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey AS custkey, 'non_buyer' AS kind FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_best_match_agg" ->
+      s"""WITH scored AS (
+         |  SELECT c_custkey, s_suppkey,
+         |         ${microSql("jaro_winkler_similarity(c_name, s_name)")} AS jw_micro
+         |  $pairSetSql
+         |  WHERE jaro_similarity(c_name, s_name) > 0.7),
+         |best AS (SELECT c_custkey, max(jw_micro) AS best_micro FROM scored GROUP BY 1)
+         |SELECT s.c_custkey, b.best_micro, min(s.s_suppkey) AS best_suppkey
+         |FROM scored s JOIN best b ON s.c_custkey = b.c_custkey AND s.jw_micro = b.best_micro
+         |GROUP BY 1, 2""".stripMargin)
 
   // ================= training-data pipeline ops (dedup / simsearch / text / multimodal) =================
 

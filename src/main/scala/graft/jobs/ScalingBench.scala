@@ -1,0 +1,89 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.model.MatchConfig
+import graft.pipeline.{ErPipeline, Fixtures}
+
+/** Scaling-efficiency evidence for the north rule (BASELINE.json:2,14):
+  * "throughput scaling efficiency >= 0.8 between N and 4N executors",
+  * sandbox proxy = the same scoring job at `local[8]` vs `local[32]` over the
+  * SAME materialized input (driver instruction; no real cluster available).
+  *
+  * Protocol:
+  *   1. `prepare` (once): fixture corpus -> records + candidate pairs, written
+  *      as parquet with a fixed partition count so both runs read identical
+  *      bytes with identical parallelism structure.
+  *   2. `score` (per core count): read records+pairs, join, batched
+  *      mapPartitions Duke scoring, count matches. Timed region = the scoring
+  *      stage only (the metric is "scored pairs/sec" — BASELINE.md).
+  *
+  * Run:
+  *   SPARK_GRAFT_CPUS=8  sbt "runMain graft.jobs.ScalingBench prepare /tmp/sb 60000"
+  *   SPARK_GRAFT_CPUS=8  sbt "runMain graft.jobs.ScalingBench score /tmp/sb"
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.jobs.ScalingBench score /tmp/sb"
+  */
+object ScalingBench {
+
+  private val Partitions = 64 // fixed task granularity across core counts
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("score")
+    val dir = args.lift(1).getOrElse("/tmp/graft-scaling")
+    val nEntities = args.lift(2).map(_.toLong).getOrElse(60000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$mode")
+      .config("spark.sql.shuffle.partitions", Partitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val config = MatchConfig.fixture
+
+    mode match {
+      case "prepare" =>
+        // bench corpus: wide synthetic surname space (K = O(N) blocking keys,
+        // bounded per-block pair counts) + a mild hot key to exercise salting
+        val gen = Fixtures.GenConfig(hotKeyFraction = 0.001, surnameSpace = 30000)
+        val docs = Fixtures.docs(spark, nEntities, gen)
+        val records = ErPipeline.extract(docs, config)
+        records.toDF().repartition(Partitions).write.mode("overwrite")
+          .parquet(s"$dir/records")
+        val persisted = spark.read.parquet(s"$dir/records").as[ErPipeline.CleanRecord]
+        val (pairs, stats) = ErPipeline.pairs(ErPipeline.block(persisted))
+        pairs.toDF().repartition(Partitions).write.mode("overwrite")
+          .parquet(s"$dir/pairs")
+        println(s"""{"prepared":{"entities":$nEntities,"records":${persisted.count()},""" +
+          s""""pairs":${spark.read.parquet(s"$dir/pairs").count()},""" +
+          s""""salted_blocks":${stats.saltedBlocks},"dropped_blocks":${stats.droppedBlocks}}}""")
+
+      case "score" =>
+        val records = spark.read.parquet(s"$dir/records").as[ErPipeline.CleanRecord]
+        val pairs = spark.read.parquet(s"$dir/pairs").as[ErPipeline.PairIds]
+        // warm the JVM + page cache once (JIT parity between runs), then time
+        val nPairs = pairs.count()
+        val warm = ErPipeline.score(
+          pairs.limit(50000), records, config)
+        warm.filter($"score" >= config.threshold).count()
+
+        val t0 = System.nanoTime()
+        val scored = ErPipeline.score(pairs, records, config)
+        val matches = scored.filter($"score" >= config.threshold).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val pps = nPairs / secs
+        println(s"""{"metric":"scored_pairs_per_sec","value":${pps.round},""" +
+          s""""unit":"pairs/sec","cores":$cpus,"pairs":$nPairs,"matches":$matches,""" +
+          s""""seconds":${math.round(secs * 1000) / 1000.0},"partitions":$Partitions}""")
+
+      case other => sys.error(s"unknown mode $other (prepare|score)")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cleaners, Duke, Phonetics}
@@ -62,25 +62,45 @@ object ErPipeline {
 
   /** spans -> flat multi-valued Duke record, cleaned per the config's cleaner
     * chains (SURVEY.md §1.4: properties extracted from spans by `kind`; media
-    * spans contribute `media_ref`, text spans `text`). One typed pass: invariant
-    * assert + extract + clean, no shuffle.
+    * spans contribute `media_ref`, text spans `text`).
+    *
+    * Fully declarative — span higher-order functions + the codegen'd CleanExpr
+    * chain, one narrow whole-stage-codegen pass, no object-domain hop (a typed
+    * mapPartitions here leaves Catalyst alias-only Projects over ObjectType
+    * that cannot be projected when the stage runs unfused). The per-row span
+    * invariant is enforced at scan time via `raise_error` gating `doc_id`
+    * (BASELINE.json:15: asserted on every ingested document).
     */
   def extract(docs: Dataset[Doc], config: MatchConfig): Dataset[CleanRecord] = {
-    import docs.sparkSession.implicits._
-    val cc = Duke.compile(config)
-    val propNames = config.properties.map(_.name)
-    docs.mapPartitions { it =>
-      it.map { doc0 =>
-        val doc = assertInvariant(doc0)
-        val byKind = doc.spans.groupBy(_.kind)
-        val props = propNames.map { p =>
-          val raw = byKind.getOrElse(p, Nil).map(s => if (p == "media") s.media_ref else s.text)
-          p -> raw
-        }.toMap
-        val cleaned = cc.clean(graft.model.EntityRecord(doc.doc_id, props))
-        CleanRecord(cleaned.doc_id, cleaned.props)
-      }
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val increasing = expr(
+      "coalesce(forall(zip_with(slice(transform(spans, s -> s.offset), 1, size(spans)-1)," +
+        " slice(transform(spans, s -> s.offset), 2, size(spans)-1)," +
+        " (a, b) -> b > a), x -> x), true)")
+    val shapeOk = expr(
+      "coalesce(forall(spans, s -> IF(s.kind = 'media'," +
+        " s.media_ref is not null and s.text is null," +
+        " s.text is not null and s.media_ref is null)), true)")
+    val gatedId = when(increasing && shapeOk, $"doc_id")
+      .otherwise(raise_error(concat(
+        lit("span invariant violated (kind/text/media_ref/order) for doc "), $"doc_id")))
+
+    val entries: Seq[Column] = config.properties.flatMap { p =>
+      val src =
+        if (p.name == "media")
+          expr("transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)")
+        else
+          expr(s"transform(filter(spans, s -> s.kind = '${p.name}'), s -> s.text)")
+      val cleaned = transform(src, v => graft.expr.functions.clean_chain(p.cleaners, v))
+      val nonEmpty = filter(cleaned, v => v.isNotNull && v =!= "")
+      Seq(lit(p.name), coalesce(nonEmpty, array().cast("array<string>")))
     }
+
+    docs.toDF()
+      .select(gatedId.as("doc_id"), map(entries: _*).as("props"))
+      .as[CleanRecord]
   }
 
   // ------------------------------------------------------------------ blocking
@@ -169,6 +189,44 @@ object ErPipeline {
     val deduped = joined.groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
       .as[PairIds]
     (deduped, PairStats(stats0._1, stats0._2, nSalted))
+  }
+
+  /** Record-linkage mode (J2, `[D Processor.java#link]`): candidate pairs
+    * between two distinct corpora on the shared blocking key — inner equi-join
+    * A x B (no triangular dedup needed; sides are disjoint by construction).
+    * Hot keys are salted on the B side and replicated on the A side, bounding
+    * task size exactly like the dedup self-join.
+    */
+  def linkPairs(
+      blocksA: Dataset[BlockRow],
+      blocksB: Dataset[BlockRow],
+      cfg: PairConfig = PairConfig()): (Dataset[PairIds], PairStats) = {
+    val spark = blocksA.sparkSession
+    import spark.implicits._
+
+    val keyCounts = blocksB.groupBy($"key").agg(count("*").as("n"))
+    val dropped = keyCounts.filter($"n" > cfg.maxBlockSize)
+      .agg(count("*").as("blocks"),
+        coalesce(sum($"n".cast("double")), lit(0.0)).as("mass"))
+      .collect()(0)
+
+    val salted = keyCounts.filter($"n" <= cfg.maxBlockSize)
+      .withColumn("salts",
+        when($"n" > cfg.saltThreshold, ceil($"n" / cfg.saltThreshold).cast("int"))
+          .otherwise(lit(1)))
+    val nSalted = salted.filter($"salts" > 1).count()
+
+    val b = blocksB.join(broadcast(salted.select($"key", $"salts")), "key")
+      .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
+      .select($"key", $"doc_id".as("b_id"), $"salt")
+    val a = blocksA.join(broadcast(salted.select($"key", $"salts")), "key")
+      .withColumn("salt", explode(sequence(lit(0), $"salts" - 1)))
+      .select($"key", $"doc_id".as("a_id"), $"salt")
+
+    val pairs = a.join(b, Seq("key", "salt"))
+      .groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
+      .as[PairIds]
+    (pairs, PairStats(dropped.getLong(0), dropped.getDouble(1), nSalted))
   }
 
   // ------------------------------------------------------------------ scoring

@@ -52,6 +52,12 @@ object Fixtures {
 
   /** Tunables; defaults calibrated so the fixture MatchConfig separates
     * duplicates from co-blocked negatives with F1 >= 0.99 (BASELINE.json:2).
+    *
+    * `surnameSpace` = 0 keeps the classic 64-name pool (small-scale tests);
+    * > 0 switches to synthetic syllabic surnames drawn from a space of that
+    * size, so the soundex blocking-key cardinality grows with the corpus and
+    * per-block pair counts stay bounded at bench scale (the 10^12-doc design
+    * point needs K = O(N) keys, not K = 64).
     */
   case class GenConfig(
       seed: Long = 42L,
@@ -60,7 +66,22 @@ object Fixtures {
       typoProb: Double = 0.5,
       addressNoiseProb: Double = 0.5,
       phoneKeepProb: Double = 0.92,
-      mediaShareProb: Double = 0.9)
+      mediaShareProb: Double = 0.9,
+      surnameSpace: Int = 0)
+
+  private val syllables = Vector(
+    "ka", "mo", "ri", "ta", "ven", "sol", "gar", "ber", "lin", "dor", "fen",
+    "hul", "jas", "kor", "lam", "nor", "pel", "qui", "ros", "sam", "tor", "ul",
+    "vor", "wes", "yar", "zel", "bran", "cor", "del", "far", "gol", "han")
+  private val surnameEndings = Vector("son", "er", "by", "man", "vik")
+
+  /** Deterministic synthetic surname #i (i < 32^3 * 5 ≈ 164k distinct). */
+  private[pipeline] def syntheticSurname(i: Int): String = {
+    val s1 = syllables(i % 32)
+    val s2 = syllables((i / 32) % 32)
+    val s3 = syllables((i / 1024) % 32)
+    s1 + s2 + s3 + surnameEndings((i / 32768) % surnameEndings.size)
+  }
 
   /** Ground-truth entity: canonical values all duplicates derive from. */
   private case class Entity(
@@ -91,7 +112,10 @@ object Fixtures {
   private def entity(cfg: GenConfig, id: Long): Entity = {
     val r = rng(cfg, 1L, id)
     val hot = r.nextDouble() < cfg.hotKeyFraction
-    val last = if (hot) "smith" else lastNames(r.nextInt(lastNames.size))
+    val last =
+      if (hot) "smith"
+      else if (cfg.surnameSpace > 0) syntheticSurname(r.nextInt(cfg.surnameSpace))
+      else lastNames(r.nextInt(lastNames.size))
     val phone = (1 to 8).map(_ => r.nextInt(10)).mkString
     val media = (0 until 1 + r.nextInt(3)).map(i => f"m://sha256/${r.nextLong().abs}%016x")
     Entity(

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.{Doc, MatchConfig, Span}
+import graft.pipeline.{Fixtures, Media}
+import graft.streaming.IncrementalLink
+
+/** Structured Streaming incremental linkage (SURVEY.md §2.9 optional mapping)
+  * and the multimodal media plumbing (opaque binary + batched decode).
+  */
+class StreamingMediaSpec extends SparkSpec {
+
+  private def doc(id: String, name: String, phone: String): Doc =
+    Doc(id, Seq(
+      Span("name", name, null, 0),
+      Span("address", "12 oak street salem", null, 3),
+      Span("phone", phone, null, 5)))
+
+  test("dedupStream: first-seen wins, later fingerprints marked duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val out = IncrementalLink.dedupStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(doc("a1", "john smith", "555"), doc("a2", "john smith", "555"))
+      q.processAllAvailable()
+      mem.addData(doc("a3", "john smith", "555"), doc("b1", "other person", "111"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => r.getString(0) -> Option(r.getAs[String]("duplicate_of"))).toMap
+      assert(rows("a1") === None)
+      assert(rows("a2") === Some("a1"))
+      assert(rows("a3") === Some("a1")) // state carried across micro-batches
+      assert(rows("b1") === None)
+    } finally q.stop()
+  }
+
+  test("linkStream: edges accumulate across micro-batches (new-vs-corpus scoring)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[Doc]
+    val q = IncrementalLink.linkStream(
+      mem.toDS(), MatchConfig.fixture,
+      s"$base/corpus", s"$base/edges", s"$base/ckpt")
+    try {
+      mem.addData(doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"))
+      q.processAllAvailable()
+      // second batch: a duplicate of d1 arrives later — must link against corpus
+      mem.addData(doc("d2", "jon smith", "5551234"))
+      q.processAllAvailable()
+      val edges = spark.read.parquet(s"$base/edges").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(edges.contains(("d1", "d2")) || edges.contains(("d2", "d1")),
+        s"cross-batch duplicate not linked: $edges")
+      assert(!edges.exists(e => e._1.startsWith("x") || e._2.startsWith("x")))
+      val corpus = spark.read.parquet(s"$base/corpus")
+      assert(corpus.count() === 3) // grows by each batch exactly once
+    } finally q.stop()
+  }
+
+  test("media plumbing: spans -> payload rows -> batched features, deterministic") {
+    import spark.implicits._
+    val docs = Fixtures.docs(spark, 60)
+    val media = Media.mediaTable(docs)
+    val nRefs = docs.collect().map(_.spans.count(_.kind == "media")).sum
+    assert(media.count() === nRefs.toLong)
+
+    val feats = Media.extractFeatures(media, batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length === nRefs)
+    rows.foreach { f =>
+      assert(f.n_bytes >= 64 && f.n_bytes < 256)
+      assert(f.embedding.length === 8)
+      assert(f.embedding.forall(v => v >= -1.0f && v <= 1.0f))
+      assert(Set("image", "audio", "video").contains(f.kind))
+    }
+    // deterministic: same refs -> same fingerprints, regardless of batch size
+    val again = Media.extractFeatures(media, batchSize = 64).collect()
+    assert(rows.map(f => f.media_ref -> f.fingerprint).toMap ===
+      again.map(f => f.media_ref -> f.fingerprint).toMap)
+
+    // shared refs across duplicate docs collapse in fingerprint dedup
+    val dedup = Media.dedupByFingerprint(feats).collect()
+    assert(dedup.map(_._2).sum === nRefs.toLong)
+    assert(dedup.exists(_._2 > 1), "fixture shares media refs within entities")
+  }
+}

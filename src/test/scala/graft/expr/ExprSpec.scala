@@ -36,31 +36,30 @@ class ExprSpec extends SparkSpec {
   }
 
   test("every comparator expression codegens (no interpreter fallback)") {
-    // CODEGEN_ONLY makes janino failures throw instead of silently falling back
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    try {
-      val rows = pairs.select(
-        sim_jaro_winkler(col("a"), col("b")),
-        sim_jaro(col("a"), col("b")),
-        sim_levenshtein(col("a"), col("b")),
-        sim_levenshtein_cutoff(col("a"), col("b")),
-        sim_weighted_levenshtein(col("a"), col("b"), 2.0),
-        sim_qgram(col("a"), col("b"), 2, 1),
-        sim_qgram(col("a"), col("b"), 3, 2),
-        sim_dice(col("a"), col("b")),
-        sim_jaccard(col("a"), col("b")),
-        sim_numeric(col("a"), col("b")),
-        sim_geoposition(col("a"), col("b"), 1000.0),
-        sim_soundex(col("a"), col("b")),
-        sim_metaphone(col("a"), col("b")),
-        sim_norphone(col("a"), col("b")),
-        sim_person_name(col("a"), col("b")),
-        sim_lcs(col("a"), col("b")),
-        sim_exact(col("a"), col("b")),
-        clean("lowercase-normalize", col("a")),
-        soundex_code(col("a")), metaphone_code(col("a")), norphone_code(col("a"))).collect()
-      assert(rows.length > 0)
-    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    // generate the unsafe projection directly: janino failures throw here, and
+    // no session-wide conf is touched (suites share the SparkSession)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val a = BoundReference(0, StringType, nullable = true)
+    val b = BoundReference(1, StringType, nullable = true)
+    val exprs = Seq(
+      "jaro", "jaroWinkler", "jaroWinklerTokenized", "levenshteinSim",
+      "levenshteinSimCutoff", "diceToken", "jaccardToken", "numericSim",
+      "soundexEq", "metaphoneEq", "norphoneEq", "personNameSim", "lcsSim",
+      "exact").map(m => SimExpr(a, b, m)) ++ Seq(
+      SimExpr(a, b, "qgramSimD", Seq(2.0, 1.0)),
+      SimExpr(a, b, "qgramSimD", Seq(3.0, 2.0)),
+      SimExpr(a, b, "weightedLevenshteinSimD", Seq(2.0)),
+      SimExpr(a, b, "geoSimD", Seq(1000.0)),
+      CleanExpr(a, "lowercase-normalize"),
+      PhoneticExpr(a, "soundex"), PhoneticExpr(a, "metaphone"), PhoneticExpr(a, "norphone"))
+    val proj = GenerateUnsafeProjection.generate(exprs) // throws if codegen fails
+    val row = proj(InternalRow(UTF8String.fromString("MARTHA"), UTF8String.fromString("MARHTA")))
+    assert(row.getDouble(1) === Similarity.jaroWinkler("MARTHA", "MARHTA"))
+    assert(row.numFields === exprs.length)
   }
 
   test("null propagation: null side -> null sim") {
