@@ -68,19 +68,28 @@ object ScalingBench {
         val records = spark.read.parquet(s"$dir/records").as[ErPipeline.CleanRecord]
         val pairs = spark.read.parquet(s"$dir/pairs").as[ErPipeline.PairIds]
         // warm the JVM + page cache once (JIT parity between runs), then time
+        // REPS repetitions and report each + the minimum — the sandbox is a
+        // shared host whose delivered CPU varies over minutes, so a single
+        // wall-clock sample is not meaningful
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
         val nPairs = pairs.count()
-        val warm = ErPipeline.score(
-          pairs.limit(50000), records, config)
+        val warm = ErPipeline.score(pairs.limit(50000), records, config)
         warm.filter($"score" >= config.threshold).count()
 
-        val t0 = System.nanoTime()
-        val scored = ErPipeline.score(pairs, records, config)
-        val matches = scored.filter($"score" >= config.threshold).count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val pps = nPairs / secs
+        var matches = 0L
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val scored = ErPipeline.score(pairs, records, config)
+          matches = scored.filter($"score" >= config.threshold).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val best = times.min
+        val pps = nPairs / best
+        val runsJson = times.map(t => math.round(t * 1000) / 1000.0).mkString("[", ",", "]")
         println(s"""{"metric":"scored_pairs_per_sec","value":${pps.round},""" +
           s""""unit":"pairs/sec","cores":$cpus,"pairs":$nPairs,"matches":$matches,""" +
-          s""""seconds":${math.round(secs * 1000) / 1000.0},"partitions":$Partitions}""")
+          s""""best_seconds":${math.round(best * 1000) / 1000.0},"runs_seconds":$runsJson,""" +
+          s""""partitions":$Partitions}""")
 
       case other => sys.error(s"unknown mode $other (prepare|score)")
     }
