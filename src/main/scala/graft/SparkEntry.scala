@@ -490,8 +490,7 @@ object SparkEntry {
 
     /** MinHash signatures (8) over word-3-shingle sets. */
     "q_minhash_signatures" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .selectExpr("doc_id", s"$shingleFpsSpark AS fps")
+      shingleFps(t(s, dir, "documents"))
         .selectExpr(Seq("doc_id") ++ (0 until 8).map(i =>
           s"array_min(transform(fps, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007)) AS mh$i"): _*)
     }),
@@ -505,21 +504,28 @@ object SparkEntry {
       val bandExprs = (0 until nBands).map(j =>
         s"(array_min(transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
           s" + array_min(transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j")
-      val sigs = docs.selectExpr("doc_id", s"$shingleFpsSpark AS fps")
+      val sigs = shingleFps(docs)
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*)
-      val bands = sigs.selectExpr("doc_id", "fps",
+      // bucket-join on narrow (band, doc_id) only; dedup candidate ids BEFORE
+      // attaching the shingle arrays — shuffling/distinct-ing array columns is
+      // the expensive mistake at scale
+      val bands = sigs.selectExpr("doc_id",
         s"posexplode(array(${(0 until nBands).map(j => s"band$j").mkString(",")})) AS (band_ix, band_val)")
-        .select(col("doc_id"), col("fps"), col("band_ix"), col("band_val"))
-      val a = bands.select(col("doc_id").as("a_id"), col("fps").as("fa"), col("band_ix"), col("band_val"))
-      val b = bands.select(col("doc_id").as("b_id"), col("fps").as("fb"), col("band_ix"), col("band_val"))
-      a.join(b, Seq("band_ix", "band_val")).where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), col("fa"), col("fb")).distinct()
+        .select(col("doc_id"), col("band_ix"), col("band_val"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band_ix"), col("band_val"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band_ix"), col("band_val")),
+          Seq("band_ix", "band_val"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val fps = sigs.select(col("doc_id"), col("fps"))
+      cand
+        .join(fps.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
+        .join(fps.select(col("doc_id").as("b_id"), col("fps").as("fb")), "b_id")
         .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
         .withColumn("jacc_micro", expr(
           "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
         .where(col("jacc_micro") >= 800000)
         .select(col("a_id"), col("b_id"), col("jacc_micro"))
-        .distinct()
     }),
 
     /** SimHash (16-bit) over distinct token fingerprints. */

@@ -49,6 +49,26 @@ object TrainingOps {
   val shingleFpsDuck: String =
     s"list_distinct(list_transform($shinglesDuck, s0 -> ${fpSqlDuck("s0")}))"
 
+  /** Staged variants over a pre-computed `toks` column: `shinglesSpark` inlines
+    * the token-split inside every element_at, making shingle construction
+    * O(tokens²) per document — at scale the tokens/shingles/fps pipeline must
+    * be staged through columns so each step evaluates once per row.
+    */
+  val shinglesFromToksSpark: String =
+    "CASE WHEN size(toks) < 3 THEN array(text) ELSE " +
+      "transform(sequence(1, size(toks) - 2)," +
+      " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
+      " element_at(toks, i + 2))) END"
+
+  /** documents -> (doc_id, fps) with the staged plan; value-identical to
+    * `shingleFpsSpark` (oracle parity is unchanged).
+    */
+  def shingleFps(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "text", s"$toksSpark AS toks")
+      .selectExpr("doc_id", s"$shinglesFromToksSpark AS shingles")
+      .selectExpr("doc_id",
+        s"array_distinct(transform(shingles, s0 -> ${fpSqlSpark("s0")})) AS fps")
+
   /** MinHash signature i: min over shingle fps of (a_i*fp + b_i) mod P. */
   def minhashSpark(i: Int): String =
     s"array_min(transform($shingleFpsSpark, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007))"

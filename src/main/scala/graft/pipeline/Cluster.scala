@@ -55,7 +55,9 @@ object Cluster {
   }
 
   /** large-star: for each node u, connect every strictly larger neighbor to
-    * m(u) = min(N(u) ∪ {u}).
+    * m(u) = min(N(u) ∪ {u}). Output may carry duplicate edges — the algorithm
+    * is idempotent under multi-edges and small-star dedups right after, so we
+    * skip a distinct here (one less shuffle per iteration).
     */
   private[pipeline] def largeStar(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -68,17 +70,17 @@ object Cluster {
       .where($"v" > $"u")
       .select(least($"v", $"m").as("a"), greatest($"v", $"m").as("b"))
       .where($"a" =!= $"b")
-      .distinct()
   }
 
   /** small-star: direct each edge large->small; for each node u connect all of
-    * its smaller neighbors (and u itself) to m(u) = min neighbor.
+    * its smaller neighbors (and u itself) to m(u) = min neighbor. The single
+    * distinct per iteration lives here.
     */
   private[pipeline] def smallStar(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val dir = edges.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v"))
-      .where($"u" =!= $"v").distinct()
+      .where($"u" =!= $"v")
     val mins = dir.groupBy($"u").agg(min($"v").as("m"))
     val nbrs = dir.join(mins, "u").where($"v" =!= $"m")
       .select($"v".as("a"), $"m".as("b"))
