@@ -64,7 +64,7 @@ object ScalingBench {
           s""""pairs":${spark.read.parquet(s"$dir/pairs").count()},""" +
           s""""salted_blocks":${stats.saltedBlocks},"dropped_blocks":${stats.droppedBlocks}}}""")
 
-      case "score" =>
+      case "score" | "score-fused" =>
         val records = spark.read.parquet(s"$dir/records").as[ErPipeline.CleanRecord]
         val pairs = spark.read.parquet(s"$dir/pairs").as[ErPipeline.PairIds]
         // warm the JVM + page cache once (JIT parity between runs), then time
@@ -72,14 +72,18 @@ object ScalingBench {
         // shared host whose delivered CPU varies over minutes, so a single
         // wall-clock sample is not meaningful
         val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        val scoreFn: (org.apache.spark.sql.Dataset[ErPipeline.PairIds],
+            org.apache.spark.sql.Dataset[ErPipeline.CleanRecord],
+            MatchConfig) => org.apache.spark.sql.Dataset[ErPipeline.ScoredPair] =
+          if (mode == "score-fused") ErPipeline.scoreFused else ErPipeline.score
         val nPairs = pairs.count()
-        val warm = ErPipeline.score(pairs.limit(50000), records, config)
+        val warm = scoreFn(pairs.limit(50000), records, config)
         warm.filter($"score" >= config.threshold).count()
 
         var matches = 0L
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          val scored = ErPipeline.score(pairs, records, config)
+          val scored = scoreFn(pairs, records, config)
           matches = scored.filter($"score" >= config.threshold).count()
           (System.nanoTime() - t0) / 1e9
         }
@@ -87,9 +91,9 @@ object ScalingBench {
         val pps = nPairs / best
         val runsJson = times.map(t => math.round(t * 1000) / 1000.0).mkString("[", ",", "]")
         println(s"""{"metric":"scored_pairs_per_sec","value":${pps.round},""" +
-          s""""unit":"pairs/sec","cores":$cpus,"pairs":$nPairs,"matches":$matches,""" +
-          s""""best_seconds":${math.round(best * 1000) / 1000.0},"runs_seconds":$runsJson,""" +
-          s""""partitions":$Partitions}""")
+          s""""unit":"pairs/sec","mode":"$mode","cores":$cpus,"pairs":$nPairs,""" +
+          s""""matches":$matches,"best_seconds":${math.round(best * 1000) / 1000.0},""" +
+          s""""runs_seconds":$runsJson,"partitions":$Partitions}""")
 
       case other => sys.error(s"unknown mode $other (prepare|score)")
     }
