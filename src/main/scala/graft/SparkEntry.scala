@@ -229,18 +229,13 @@ object SparkEntry {
 
     // ---------------- sorted-neighborhood blocking (J4, §2.6) ----------------
     "q_sorted_neighborhood" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // window w=2 over names sorted by normalized key: each doc pairs with
-      // the next 2 in sort order — Duke InMemoryBlockingDatabase semantics
+      // w=2 over names sorted by normalized key — Duke InMemoryBlockingDatabase
+      // semantics, computed with the distributed global rank (no
+      // single-partition window; see pipeline.Neighborhood)
       val norm = clean_chain(Seq("trim", "lowercase-normalize"), col("c_name"))
-      val w = Window.orderBy(col("k"), col("c_custkey"))
-      val ranked = t(s, dir, "customer")
-        .select(col("c_custkey"), norm.as("k"))
-        .withColumn("rn", row_number().over(w))
-      val a = ranked.select(col("c_custkey").as("a_id"), col("rn"))
-      val b = ranked.select(col("c_custkey").as("b_id"), col("rn").as("rn_b"))
-      a.join(b, col("rn_b") - col("rn") >= 1 && col("rn_b") - col("rn") <= 2)
-        .select(col("a_id"), col("b_id"))
+      graft.pipeline.Neighborhood.pairs(
+        t(s, dir, "customer").select(col("c_custkey"), norm.as("k")),
+        key = col("k"), id = col("c_custkey"), w = 2)
     }),
 
     // ---------------- best match via aggregation (G2, §2.7) ----------------

@@ -1,0 +1,89 @@
+package graft
+
+import graft.api.EntityResolution
+import graft.model.MatchConfig
+
+/** Reference-parity scenario (SURVEY.md §5.2 #6, FIXTURES.md §4): the upstream
+  * plugin's integration-test shape — a small indexed corpus, one query record,
+  * expected probabilities computed BY HAND from the Duke formulas (§8), not by
+  * calling our own kernel.
+  */
+class EntityResolutionApiSpec extends SparkSpec {
+
+  // the survey's §1.2 example query: city ~ "South", Levenshtein, low .1 high .95
+  private val config = MatchConfig.fromJson(
+    """{ "threshold": 0.9, "maybeThreshold": 0.65, "properties": [
+      |  {"name": "city",
+      |   "cleaners": ["no.priv.garshol.duke.cleaners.TrimCleaner",
+      |                "no.priv.garshol.duke.cleaners.LowerCaseNormalizeCleaner"],
+      |   "comparator": "no.priv.garshol.duke.comparators.Levenshtein",
+      |   "low": 0.1, "high": 0.95}
+      |] }""".stripMargin)
+
+  private val eps = 1e-12
+
+  test("function_score parity: per-candidate probabilities match the §8 math") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("d1", " South "),      // exact after cleaning     -> sim 1.0
+      ("d2", "Sooth"),        // d=1/5 -> sim 0.8
+      ("d3", "North"),        // d=2/5 -> sim 0.6
+      ("d4", "Southfield"))   // len ratio 5/10 <= .5 -> sim 0 -> low
+      .toDF("doc_id", "city")
+
+    val got = EntityResolution.topK(corpus, Map("city" -> Seq("South")), config, k = 10)
+      .select("doc_id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+
+    // hand-computed: bayes(0.5, p) = p; p = (0.95-0.5)*sim^2+0.5 if sim>=0.5 else 0.1
+    def p(sim: Double) = if (sim >= 0.5) 0.45 * sim * sim + 0.5 else 0.1
+    val expected = Map(
+      "d1" -> p(1.0),                 // 0.95
+      "d2" -> p(0.8),                 // 0.788
+      "d3" -> p(0.6),                 // 0.662
+      "d4" -> 0.1)
+    assert(got.map(_._1).toSeq === Seq("d1", "d2", "d3", "d4")) // ranked by score
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - expected(id)) < eps, s"$id: $s vs ${expected(id)}")
+    }
+
+    val buckets = EntityResolution.classify(
+      EntityResolution.scored(corpus, Map("city" -> Seq("South")), config), config)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(buckets === Map("d1" -> "match", "d2" -> "maybe", "d3" -> "maybe", "d4" -> "no-match"))
+  }
+
+  test("multi-valued fields take the best pair; missing fields are skipped") {
+    import spark.implicits._
+    val cfg2 = MatchConfig(0.9, 0.65, config.properties :+
+      graft.model.PropertySpec("phone", Seq("digits-only"), "exact", 0.05, 0.98))
+    val corpus = Seq(
+      ("m1", Seq("Oslo", "South"), "555-123"),   // best city = exact
+      ("m2", Seq("Oslo", "Bergen"), null))        // no city match, phone missing
+      .toDF("doc_id", "city", "phone")
+
+    val got = EntityResolution.scored(
+      corpus, Map("city" -> Seq("South"), "phone" -> Seq("555123")), cfg2)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Double]("score")).toMap
+
+    // m1: bayes(bayes(0.5, 0.95), 0.98); m2: city low only (phone skipped)
+    val m1 = {
+      val b1 = 0.95
+      b1 * 0.98 / (b1 * 0.98 + (1 - b1) * (1 - 0.98))
+    }
+    assert(math.abs(got("m1") - m1) < eps)
+    assert(math.abs(got("m2") - 0.1) < eps)
+  }
+
+  test("predicate narrows candidates before scoring (retrieve-then-score)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = (1 to 100).map(i => (s"d$i", if (i % 10 == 0) "South" else "Elsewhere"))
+      .toDF("doc_id", "city")
+    val hits = EntityResolution.topK(
+      corpus, Map("city" -> Seq("South")), config, k = 5,
+      predicate = col("city").startsWith("S"))
+    assert(hits.count() === 5)
+    assert(hits.collect().forall(_.getAs[Double]("score") === 0.95))
+  }
+}

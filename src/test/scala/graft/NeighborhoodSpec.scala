@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Neighborhood
+
+/** Distributed sorted-neighborhood blocking (J4): the range-partitioned
+  * two-pass global rank must equal a single-partition window rank, and the
+  * equi-ized neighborhood join must produce exactly the naive w-window pairs.
+  */
+class NeighborhoodSpec extends SparkSpec {
+
+  test("globalRank == single-partition row_number, any partitioning") {
+    import spark.implicits._
+    val r = new scala.util.Random(53)
+    val rows = (1 to 500).map(i => (f"id$i%04d", s"k${r.nextInt(40)}%02d"))
+    val df = rows.toDF("id", "k").repartition(11)
+    val got = Neighborhood.globalRank(df, col("k"), col("id"), partitions = 7)
+      .select("id", "rank").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), ix) => id -> (ix + 1L) }.toMap
+    assert(got === want)
+  }
+
+  test("pairs == naive window pairs (w=3)") {
+    import spark.implicits._
+    val r = new scala.util.Random(59)
+    val rows = (1 to 300).map(i => (f"d$i%04d", s"key${r.nextInt(25)}%02d"))
+    val df = rows.toDF("id", "k").repartition(9)
+    val got = Neighborhood.pairs(df, col("k"), col("id"), w = 3, partitions = 5)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val sorted = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) to math.min(i + 3, sorted.size - 1)
+    } yield (sorted(i), sorted(j))).toSet
+    assert(got === want)
+  }
+}
