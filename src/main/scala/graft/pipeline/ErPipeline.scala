@@ -163,15 +163,23 @@ object ErPipeline {
       .collect()(0)
     val stats0 = (dropped.getLong(0), dropped.getDouble(1))
 
-    // salts per key: 1 for normal keys, ceil(n/threshold) for hot keys
-    val salted = keyCounts
-      .filter($"n" <= cfg.maxBlockSize)
-      .withColumn("salts",
-        when($"n" > cfg.saltThreshold, ceil($"n" / cfg.saltThreshold).cast("int"))
-          .otherwise(lit(1)))
-    val nSalted = salted.filter($"salts" > 1).count()
+    // Only the HEAVY TAIL is broadcast (dropped keys: at most |blocks|/max
+    // of them; hot keys: at most |blocks|/threshold) — normal keys default to
+    // salts=1 via the left join, so driver/executor memory never scales with
+    // the number of DISTINCT blocking keys (O(corpus) at the 10^12-doc design
+    // point; broadcasting all of them was the scale bug).
+    val dropKeys = keyCounts.filter($"n" > cfg.maxBlockSize)
+      .select($"key", lit(true).as("__drop"))
+    val hotKeys = keyCounts
+      .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
+      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
+    val nSalted = hotKeys.count()
 
-    val withSalt = blocks.join(broadcast(salted.select($"key", $"salts")), "key")
+    val withSalt = blocks
+      .join(broadcast(dropKeys), Seq("key"), "left")
+      .where($"__drop".isNull)
+      .join(broadcast(hotKeys), Seq("key"), "left")
+      .withColumn("salts", coalesce($"salts", lit(1)))
       .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
 
     // triangular replication
@@ -210,16 +218,23 @@ object ErPipeline {
         coalesce(sum($"n".cast("double")), lit(0.0)).as("mass"))
       .collect()(0)
 
-    val salted = keyCounts.filter($"n" <= cfg.maxBlockSize)
-      .withColumn("salts",
-        when($"n" > cfg.saltThreshold, ceil($"n" / cfg.saltThreshold).cast("int"))
-          .otherwise(lit(1)))
-    val nSalted = salted.filter($"salts" > 1).count()
+    // heavy tail only, as in `pairs` (broadcast never scales with distinct keys)
+    val dropKeys = keyCounts.filter($"n" > cfg.maxBlockSize)
+      .select($"key", lit(true).as("__drop"))
+    val hotKeys = keyCounts
+      .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
+      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
+    val nSalted = hotKeys.count()
 
-    val b = blocksB.join(broadcast(salted.select($"key", $"salts")), "key")
+    def salted(blocks: Dataset[BlockRow]) = blocks
+      .join(broadcast(dropKeys), Seq("key"), "left")
+      .where($"__drop".isNull)
+      .join(broadcast(hotKeys), Seq("key"), "left")
+      .withColumn("salts", coalesce($"salts", lit(1)))
+    val b = salted(blocksB)
       .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
       .select($"key", $"doc_id".as("b_id"), $"salt")
-    val a = blocksA.join(broadcast(salted.select($"key", $"salts")), "key")
+    val a = salted(blocksA)
       .withColumn("salt", explode(sequence(lit(0), $"salts" - 1)))
       .select($"key", $"doc_id".as("a_id"), $"salt")
 

@@ -65,9 +65,15 @@ object IncrementalLink {
       }
   }
 
-  /** Incremental linkage: every micro-batch scores its docs against the corpus
+  /** Incremental linkage: every micro-batch links its docs against the corpus
     * accumulated so far (parquet-backed, the Duke Database analog) and appends
     * edges. Returns the started query; caller owns lifecycle.
+    *
+    * Scale shape: only the NEW docs are extracted and blocked each batch; a
+    * persistent blocks table stands in for the inverted index, so per-batch
+    * work is new-vs-new (triangular self-join) + new-vs-corpus (A-vs-B
+    * linkPairs against stored blocks) — never a re-block or re-scan of the
+    * whole corpus' pair space.
     */
   def linkStream(
       stream: Dataset[Doc],
@@ -83,26 +89,38 @@ object IncrementalLink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
         val newRecords = ErPipeline.extract(batch, config).toDF()
+          .localCheckpoint(true).as[ErPipeline.CleanRecord]
         if (!newRecords.isEmpty) {
-          val hasCorpus = new java.io.File(s"$corpusDir/_SUCCESS").exists()
-          val corpus =
-            if (hasCorpus) spark.read.parquet(corpusDir).unionByName(newRecords)
-            else newRecords
-          val records = corpus.as[ErPipeline.CleanRecord]
-          val newIds = newRecords.select($"doc_id").as[String].collect().toSet
-          val bNewIds = spark.sparkContext.broadcast(newIds)
+          val newBlocks = ErPipeline.block(newRecords)
+            .toDF().localCheckpoint(true).as[ErPipeline.BlockRow]
+          val recordsDir = s"$corpusDir/records"
+          val blocksDir = s"$corpusDir/blocks"
+          val hasCorpus = new java.io.File(s"$recordsDir/_SUCCESS").exists()
 
-          val blocks = ErPipeline.block(records)
-          val (pairIds, _) = ErPipeline.pairs(blocks)
-          // only pairs touching a new doc are scored this batch (old-old pairs
-          // were scored in earlier batches)
-          val fresh = pairIds.filter(p =>
-            bNewIds.value.contains(p.a_id) || bNewIds.value.contains(p.b_id))
-          val scored = ErPipeline.score(fresh, records, config)
+          // new-new candidate pairs + new-old against the stored blocks table
+          val (nnPairs, _) = ErPipeline.pairs(newBlocks)
+          val pairIds =
+            if (!hasCorpus) nnPairs
+            else {
+              val oldBlocks = spark.read.parquet(blocksDir).as[ErPipeline.BlockRow]
+              val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
+              nnPairs.unionByName(noPairs)
+            }
+
+          val allRecords =
+            if (!hasCorpus) newRecords
+            else spark.read.parquet(recordsDir).as[ErPipeline.CleanRecord]
+              .unionByName(newRecords)
+          val scored = ErPipeline.score(pairIds, allRecords, config)
+          // linkPairs keeps (new, old) orientation; normalize to (min, max)
+          // so streamed edges equal the batch pipeline's bit-for-bit
           ErPipeline.matchEdges(scored, config)
+            .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"))
             .write.mode("append").parquet(edgesDir)
-          // grow the corpus (Database.index analog)
-          newRecords.write.mode("append").parquet(corpusDir)
+          // grow the corpus + its blocks table (Database.index analog)
+          newRecords.toDF().write.mode("append").parquet(recordsDir)
+          newBlocks.toDF().write.mode("append").parquet(blocksDir)
         }
         ()
       }

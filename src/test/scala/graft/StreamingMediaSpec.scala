@@ -60,8 +60,10 @@ class StreamingMediaSpec extends SparkSpec {
       assert(edges.contains(("d1", "d2")) || edges.contains(("d2", "d1")),
         s"cross-batch duplicate not linked: $edges")
       assert(!edges.exists(e => e._1.startsWith("x") || e._2.startsWith("x")))
-      val corpus = spark.read.parquet(s"$base/corpus")
+      val corpus = spark.read.parquet(s"$base/corpus/records")
       assert(corpus.count() === 3) // grows by each batch exactly once
+      val blocks = spark.read.parquet(s"$base/corpus/blocks")
+      assert(blocks.count() > 0) // persistent blocks table grows alongside
     } finally q.stop()
   }
 
