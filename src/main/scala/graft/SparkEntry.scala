@@ -580,6 +580,20 @@ object SparkEntry {
         .select(col("qid"), col("bucket"), col("cid"), col("rk").cast("long"), col("cos_micro"))
     }),
 
+    /** Embedding-cosine near-dup pairs (dedup op): sign-LSH buckets bound the
+      * candidate space; verify with exact cosine >= 0.30 within buckets (the synthetic embeddings plant no true dups; 0.30 is the top-1% tail, demonstrating the operator shape).
+      */
+    "q_embed_near_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding", s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+      a.join(b, "bucket").where(col("a_id") < col("b_id"))
+        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("va", "vb")}) * 1e6 + 0.5) AS BIGINT)"))
+        .where(col("cos_micro") >= 300000)
+        .select(col("a_id"), col("b_id"), col("cos_micro"))
+    }),
+
     /** Language ID: stopword-hit argmax heuristic. */
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
@@ -692,6 +706,14 @@ object SparkEntry {
          |                    c.vec_id) AS rk
          |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id)
          |WHERE rk <= 3""".stripMargin,
+    "q_embed_near_dup" ->
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(FLOOR((${cosDuck("a.embedding", "b.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+         |FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(FLOOR((${cosDuck("a.embedding", "b.embedding")}) * 1e6 + 0.5) AS BIGINT) >= 300000""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id,
          |  CAST(${langHitsDuck("en")} AS BIGINT) AS en_hits,
