@@ -125,10 +125,19 @@ object LinkJob {
       droppedBlocks = pairStats.droppedBlocks, saltedBlocks = pairStats.saltedBlocks)
   }
 
-  /** spark-submit entry: LinkJob <outDir> [nEntities=1000] [master]. */
+  /** spark-submit entry: LinkJob <outDir> [nEntities=1000] [configJson]
+    * — configJson is a plugin-style query-params file (SURVEY.md §1.2),
+    * defaulting to the fixture configuration.
+    */
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft-link")
     val nEntities = args.lift(1).map(_.toLong).getOrElse(1000L)
+    val config = args.lift(2) match {
+      case Some(path) => MatchConfig.fromJson(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      case None => MatchConfig.fixture
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
       .appName("graft-link")
@@ -140,7 +149,7 @@ object LinkJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Fixtures.docs(spark, nEntities)
-    val s = run(spark, docs, MatchConfig.fixture, outDir)
+    val s = run(spark, docs, config, outDir)
     println(s"[link] $s")
     spark.stop()
   }
