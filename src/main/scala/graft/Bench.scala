@@ -11,7 +11,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up outside any query's measurement
-    spark.range(100000).selectExpr("sum(xxhash64(id))").collect()
+    // (divide before summing: sum of raw xxhash64 longs overflows under ANSI)
+    spark.range(100000).selectExpr("sum(xxhash64(id) / 1e9)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -552,11 +552,14 @@ object SparkEntry {
     "q_embed_cosine_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .selectExpr("vec_id", "embedding", s"${normSpark("embedding")} AS nrm")
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
       q.crossJoin(c).where(col("qid") =!= col("cid"))
-        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("qv", "cv")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro",
+          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv", "qn", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
@@ -568,13 +571,16 @@ object SparkEntry {
     "q_embed_ann_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding", s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket")
+        .selectExpr("vec_id", "embedding",
+          s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket",
+          s"${normSpark("embedding")} AS nrm")
       val q = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
       q.join(c, "bucket").where(col("qid") =!= col("cid"))
-        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("qv", "cv")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro",
+          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv", "qn", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("qid"), col("bucket"), col("cid"), col("rk").cast("long"), col("cos_micro"))
@@ -585,11 +591,14 @@ object SparkEntry {
       */
     "q_embed_near_dup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding", s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+        .selectExpr("vec_id", "embedding",
+          s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket",
+          s"${normSpark("embedding")} AS nrm")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"), col("nrm").as("nb"))
       a.join(b, "bucket").where(col("a_id") < col("b_id"))
-        .withColumn("cos_micro", expr(s"CAST(FLOOR((${cosSpark("va", "vb")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro",
+          expr(s"CAST(FLOOR((${cosStagedSpark("va", "vb", "na", "nb")}) * 1e6 + 0.5) AS BIGINT)"))
         .where(col("cos_micro") >= 300000)
         .select(col("a_id"), col("b_id"), col("cos_micro"))
     }),

@@ -87,6 +87,18 @@ object TrainingOps {
         s" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+  /** Staged variant: per-vector norms precomputed BEFORE the pair join (each
+    * vector's norm computed once, not once per pair — 3 dot products per pair
+    * becomes 1). Bit-identical: same expressions over the same values, and
+    * `dot/(sqrt(aa)*sqrt(bb))` evaluates exactly as `dot/(na*nb)`.
+    */
+  def dotSpark(x: String, y: String): String =
+    s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE))," +
+      s" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  def normSpark(v: String): String = s"sqrt(${dotSpark(v, v)})"
+  def cosStagedSpark(a: String, b: String, na: String, nb: String): String =
+    s"${dotSpark(a, b)} / ($na * $nb)"
+
   def cosDuck(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, len($x))," +
