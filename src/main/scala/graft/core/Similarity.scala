@@ -123,6 +123,17 @@ object Similarity {
     1.0 - d.toDouble / lo.toDouble
   }
 
+  /** Max-length-normalized variant — the hedge for SURVEY.md §8.2's (med)
+    * uncertainty on Duke's normalization denominator: sim = 1 - d/max. Behind
+    * registry key "levenshtein-max"; swap in config if upstream parity ever
+    * demands it.
+    */
+  def levenshteinSimMax(s1: String, s2: String): Double = {
+    val hi = math.max(s1.length, s2.length)
+    if (hi == 0) return 1.0
+    1.0 - levenshtein(s1, s2).toDouble / hi.toDouble
+  }
+
   /** Banded variant for the pipeline hot path: identical result whenever
     * sim > 0.5; returns 0.0 (instead of the exact sub-0.5 value) when the band
     * proves sim <= 0.5 — replicating Duke's cutoff optimization
@@ -408,6 +419,7 @@ object Similarity {
       "jaro-winkler" -> ((a, b, _) => jaroWinkler(a, b)),
       "jaro-winkler-tokenized" -> ((a, b, _) => jaroWinklerTokenized(a, b)),
       "levenshtein" -> ((a, b, _) => levenshteinSim(a, b)),
+      "levenshtein-max" -> ((a, b, _) => levenshteinSimMax(a, b)),
       "levenshtein-cutoff" -> ((a, b, _) => levenshteinSimCutoff(a, b)),
       "weighted-levenshtein" -> ((a, b, p) =>
         weightedLevenshteinSim(a, b, if (p.nonEmpty) p(0) else 2.0)),

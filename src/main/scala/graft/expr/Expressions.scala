@@ -35,6 +35,7 @@ case class SimExpr(left: Expression, right: Expression, method: String, args: Se
     case "jaroWinkler"            => Similarity.jaroWinkler
     case "jaroWinklerTokenized"   => Similarity.jaroWinklerTokenized
     case "levenshteinSim"         => Similarity.levenshteinSim
+    case "levenshteinSimMax"      => Similarity.levenshteinSimMax
     case "levenshteinSimCutoff"   => Similarity.levenshteinSimCutoff
     case "weightedLevenshteinSimD" => (a, b) => Similarity.weightedLevenshteinSim(a, b, args(0))
     case "qgramSimD"              => (a, b) => Similarity.qgramSim(a, b, args(0).toInt, args(1).toInt)

@@ -47,6 +47,7 @@ object functions {
       case "JaroWinkler" | "jaro-winkler"                        => "jaroWinkler"
       case "JaroWinklerTokenized" | "jaro-winkler-tokenized"     => "jaroWinklerTokenized"
       case "Levenshtein" | "levenshtein"                         => "levenshteinSim"
+      case "levenshtein-max"                                     => "levenshteinSimMax"
       case "levenshtein-cutoff"                                  => "levenshteinSimCutoff"
       case "WeightedLevenshtein" | "weighted-levenshtein"        => "weightedLevenshteinSimD"
       case "QGramComparator" | "qgram"                           => "qgramSimD"

@@ -108,25 +108,16 @@ object ErPipeline {
   /** Blocking-key generation (the Spark replacement for ES/Lucene candidate
     * retrieval — SURVEY.md §2.6 J3): recall-oriented keys from cleaned values.
     * Default keyers mirror a Duke lookup-property setup: surname soundex +
-    * exact phone digits. Multiple keys per doc; the same function defines the
-    * "same blocking key" for the labeled pairs (BASELINE.json:2).
+    * exact phone digits (see `Blocking` for the configurable KeyFunction
+    * analog). Multiple keys per doc; the same function defines the "same
+    * blocking key" for the labeled pairs (BASELINE.json:2).
     */
-  def blockKeys(rec: CleanRecord): Seq[String] = {
-    val names = rec.props.getOrElse("name", Nil)
-    val phones = rec.props.getOrElse("phone", Nil)
-    val nameKeys = names.flatMap { n =>
-      val toks = n.split(' ')
-      if (toks.isEmpty || toks.last.isEmpty) Nil
-      else Seq("n:" + Phonetics.soundex(toks.last))
-    }
-    val phoneKeys = phones.filter(_.length >= 5).map("p:" + _)
-    (nameKeys ++ phoneKeys).distinct
-  }
+  def blockKeys(rec: CleanRecord): Seq[String] = Blocking.keys(Blocking.default)(rec)
 
-  def block(records: Dataset[CleanRecord]): Dataset[BlockRow] = {
-    import records.sparkSession.implicits._
-    records.flatMap(r => blockKeys(r).map(k => BlockRow(r.doc_id, k)))
-  }
+  def block(
+      records: Dataset[CleanRecord],
+      keyers: Seq[Blocking.Keyer] = Blocking.default): Dataset[BlockRow] =
+    Blocking.block(records, keyers)
 
   // ------------------------------------------------------------------ pair generation
 
