@@ -251,6 +251,23 @@ object SparkEntry {
         .agg(min(col("s.s_suppkey")).as("best_suppkey"))
     }),
 
+    // ---------------- two-corpus record linkage (J2, §2.6) ----------------
+    "q_link_two_corpora" -> ((s, dir) => {
+      import graft.pipeline.ErPipeline.BlockRow
+      import s.implicits._
+      val a = t(s, dir, "customer").select(
+        col("c_custkey").cast("string").as("doc_id"),
+        concat(lit("k"), col("c_nationkey")).as("key")).as[BlockRow]
+      val b = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("string").as("doc_id"),
+        concat(lit("k"), col("s_nationkey")).as("key")).as[BlockRow]
+      val (pairs, _) = ErPipeline.linkPairs(a, b)
+      pairs.toDF().select(
+        col("a_id").cast("long").as("a_id"),
+        col("b_id").cast("long").as("b_id"),
+        col("block_key"))
+    }),
+
     // ---------------- regexp cleaner (C9) + set ops (G7) ----------------
     "q_cleaner_regexp" -> ((s, dir) => {
       t(s, dir, "customer").select(
@@ -452,6 +469,10 @@ object SparkEntry {
         |  FROM customer)
         |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
         |FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2""".stripMargin,
+    "q_link_two_corpora" ->
+      """SELECT c.c_custkey AS a_id, s.s_suppkey AS b_id,
+        |       'k' || CAST(c.c_nationkey AS VARCHAR) AS block_key
+        |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey""".stripMargin,
     "q_cleaner_regexp" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS id_digits
         |FROM customer""".stripMargin,
