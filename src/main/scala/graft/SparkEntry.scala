@@ -648,12 +648,16 @@ object SparkEntry {
           s" + CAST($nAlpha AS DOUBLE) / $nTok * 0.2) * 1e6 + 0.5) AS BIGINT) AS quality_micro")
     }),
 
-    /** Token counting: whitespace tokens + BPE-ish word tokens + chars. */
+    /** Token counting: whitespace tokens + BPE-ish pretokenizer pieces (runs
+      * of letters / digits / single other-symbols, the GPT-2-style split) +
+      * alpha tokens + chars.
+      */
     "q_token_count" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
         s"CAST(size($toksSpark) AS BIGINT) AS n_ws_tokens",
         s"CAST(size(filter($toksSpark, x -> x rlike '^[a-z]+$$')) AS BIGINT) AS n_alpha_tokens",
+        """CAST(size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS BIGINT) AS n_bpe_pieces""",
         "CAST(length(text) AS BIGINT) AS n_chars")
     }),
 
@@ -765,6 +769,7 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len($toksDuck) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(list_filter($toksDuck, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS n_alpha_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
          |  CAST(length(text) AS BIGINT) AS n_chars
          |FROM documents""".stripMargin,
     "q_media_meta" ->

@@ -97,6 +97,45 @@ object Media {
         embedding = emb)
     }
 
+  /** Resized variant of a feature row: real plumbing (typed output, batched
+    * mapPartitions), stub arithmetic for the resampling itself (no image libs
+    * in this container). A real implementation swaps only `resizeOne`.
+    */
+  case class ResizedMedia(
+      doc_id: String, media_ref: String, kind: String,
+      width: Int, height: Int, fingerprint: Long)
+
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions(_.map(f => resizeOne(f, maxW, maxH)))
+  }
+
+  private def resizeOne(f: MediaFeatures, maxW: Int, maxH: Int): ResizedMedia = {
+    // STUB: aspect-preserving bound; fingerprint re-derived deterministically
+    val w = math.max(1, f.width); val h = math.max(1, f.height)
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    ResizedMedia(f.doc_id, f.media_ref, f.kind,
+      math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
+      (f.fingerprint * 31 + maxW * 7919L + maxH) % 1000000007L)
+  }
+
+  /** Frame sampling for video-kind payloads: one row per sampled frame index
+    * (`explode`-style fan-out, deterministic frame count from the payload).
+    * Real decoder integration point = `frameOf`.
+    */
+  case class Frame(doc_id: String, media_ref: String, frame_ix: Int, frame_fingerprint: Long)
+
+  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): Dataset[Frame] = {
+    import features.sparkSession.implicits._
+    features.filter(_.kind == "video").flatMap { f =>
+      val nFrames = (f.n_bytes % 240 + 16).toInt // STUB: fake stream length
+      (0 until nFrames by everyN).map(i => frameOf(f, i))
+    }
+  }
+
+  private def frameOf(f: MediaFeatures, ix: Int): Frame =
+    Frame(f.doc_id, f.media_ref, ix, (f.fingerprint * 131 + ix) % 1000000007L)
+
   /** Exact media dedup across docs: payload-fingerprint groups (the media-side
     * analog of text exact-dedup; feeds the `media` exact comparator signal).
     */

@@ -93,4 +93,32 @@ class StreamingMediaSpec extends SparkSpec {
     assert(dedup.map(_._2).sum === nRefs.toLong)
     assert(dedup.exists(_._2 > 1), "fixture shares media refs within entities")
   }
+
+  test("media resize + frame sampling: typed batched plumbing, deterministic stubs") {
+    val feats = Media.extractFeatures(Media.mediaTable(Fixtures.docs(spark, 40)))
+    val resized = Media.resize(feats, maxW = 64, maxH = 48).collect()
+    assert(resized.length === feats.count())
+    resized.foreach { r =>
+      assert(r.width >= 1 && r.width <= 64)
+      assert(r.height >= 1 && r.height <= 48)
+    }
+    // aspect preserved within integer truncation for the downscaled ones
+    val byRef = feats.collect().map(f => f.media_ref -> f).toMap
+    resized.filter(r => byRef(r.media_ref).width > 64).foreach { r =>
+      val f = byRef(r.media_ref)
+      val expScale = math.min(64.0 / math.max(1, f.width), 48.0 / math.max(1, f.height))
+      assert(r.width === math.max(1, (math.max(1, f.width) * expScale).toInt))
+    }
+
+    val frames = Media.sampleFrames(feats, everyN = 8).collect()
+    val nVideos = feats.filter(_.kind == "video").count()
+    if (nVideos > 0) {
+      assert(frames.nonEmpty)
+      assert(frames.forall(_.frame_ix % 8 === 0))
+      // deterministic across runs
+      val again = Media.sampleFrames(feats, everyN = 8).collect()
+      assert(frames.map(f => (f.media_ref, f.frame_ix, f.frame_fingerprint)).toSet ===
+        again.map(f => (f.media_ref, f.frame_ix, f.frame_fingerprint)).toSet)
+    }
+  }
 }
