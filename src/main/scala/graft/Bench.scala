@@ -13,15 +13,29 @@ object Bench {
     // absorb session/codegen warm-up outside any query's measurement
     // (divide before summing: sum of raw xxhash64 longs overflows under ANSI)
     spark.range(100000).selectExpr("sum(xxhash64(id) / 1e9)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (driver leaves it unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    var failed = List.empty[String]
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable => // a broken query must fail the bench, not hide at -1
+          System.err.println(s"[bench] query $name FAILED: $e")
+          failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -520,8 +520,12 @@ object SparkEntry {
       val bandExprs = (0 until nBands).map(j =>
         s"(array_min(transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
           s" + array_min(transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j")
+      // materialize signatures ONCE: bands (self-joined, 2 scans) + two fps
+      // joins would otherwise re-run the per-character rolling-hash transform
+      // up to 4× per document — at 100 TB that is 4 full corpus passes
       val sigs = shingleFps(docs)
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*)
+        .localCheckpoint(true)
       // bucket-join on narrow (band, doc_id) only; dedup candidate ids BEFORE
       // attaching the shingle arrays — shuffling/distinct-ing array columns is
       // the expensive mistake at scale

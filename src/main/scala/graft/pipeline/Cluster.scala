@@ -1,7 +1,8 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Transitive clustering of match edges: the large-star/small-star
   * connected-components algorithm (Kiveris et al., "Connected Components in
@@ -12,8 +13,32 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: cluster label = min doc_id of the component (lexicographic),
   * no `first()`-style nondeterminism (SURVEY.md §7.4).
+  *
+  * Scale shape (round-2 rework):
+  *  - **partition-local union-find pre-contraction**: one `mapPartitions` pass
+  *    replaces each partition's edges by a local star forest before the first
+  *    shuffle (the classic two-phase CC). Long chains — the adversarial input
+  *    for star iterations — collapse by ~|partition| before the loop, so the
+  *    iteration count depends on the number of partitions a component spans,
+  *    not on its diameter.
+  *  - **large-star output is materialized once per iteration**: small-star
+  *    scans its input three times (direction, min-agg, join); without
+  *    truncation those scans re-ran the whole large-star union+agg+join each
+  *    time (the round-1 158 s plan).
+  *  - **convergence probe reads the just-materialized edges** (cached/
+  *    checkpointed blocks), one cheap agg — not a recompute of the iteration.
   */
 object Cluster {
+
+  /** Plan/lineage truncation: reliable `checkpoint` when the session has a
+    * checkpoint dir configured (cluster mode — survives executor loss, the
+    * documented default for real runs), else eager `localCheckpoint` (sandbox /
+    * tests; executor-local blocks, fastest). LinkJob overrides with
+    * parquet-per-iteration stages for resumability.
+    */
+  def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Result: (doc_id, cluster_id) for every node that appears in `edges`;
     * callers union in singletons (docs with no edge) with cluster_id = doc_id.
@@ -21,22 +46,25 @@ object Cluster {
   def connectedComponents(
       edges0: DataFrame,
       maxIter: Int = 50,
-      onIteration: (Int, DataFrame) => DataFrame = (_, df) => df.localCheckpoint(true))
-      : DataFrame = {
+      onIteration: (Int, DataFrame) => DataFrame = (_, df) => truncate(df),
+      preContract: Boolean = true): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
-    var edges = edges0.select(
+    val normalized = edges0.select(
       least(col(edges0.columns(0)), col(edges0.columns(1))).as("a"),
       greatest(col(edges0.columns(0)), col(edges0.columns(1))).as("b"))
       .where($"a" =!= $"b").distinct()
+
+    var edges = truncate(
+      if (preContract) localContract(normalized) else normalized)
 
     var converged = false
     var iter = 0
     var sig = signature(edges)
     while (!converged && iter < maxIter) {
       iter += 1
-      val ls = largeStar(edges)
+      val ls = truncate(largeStar(edges))
       val ss = smallStar(ls)
       // truncate lineage every iteration (iterative joins grow the plan
       // exponentially otherwise — SURVEY.md §4 "CC lineage explosion")
@@ -52,6 +80,63 @@ object Cluster {
       .union(edges.select($"b".as("n"), $"a".as("p")))
     sym.groupBy($"n").agg(min($"p").as("mp"))
       .select($"n".as("doc_id"), least($"n", $"mp").as("cluster_id"))
+  }
+
+  /** Partition-local union-find contraction: within each partition, replace
+    * the local edges by the star forest (local-min root -> node). Exactly
+    * connectivity-preserving; output edges satisfy a < b because the root is
+    * the partition-local component minimum. One narrow pass, no shuffle; the
+    * per-partition hash map holds only that partition's node ids (same memory
+    * scale as a partial hash aggregate). Falls through to the input unchanged
+    * for id types without a total order mapped here.
+    */
+  private[pipeline] def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val dt = edges.schema(0).dataType
+    val ord: Ordering[Any] = (dt match {
+      case StringType  => Ordering.String
+      case LongType    => Ordering.Long
+      case IntegerType => Ordering.Int
+      case ShortType   => Ordering.Short
+      case ByteType    => Ordering.Byte
+      case _           => null
+    }).asInstanceOf[Ordering[Any]]
+    if (ord == null) return edges
+
+    val schema = StructType(Seq(
+      StructField("a", dt, nullable = true),
+      StructField("b", edges.schema(1).dataType, nullable = true)))
+    val rdd = edges.rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        var p = parent.get(r)
+        while (p != null && p != r) { r = p; p = parent.get(r) }
+        var c = x // path compression (value updates only — no structural change)
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (a != null && b != null && a != b) {
+          if (parent.get(a) == null) parent.put(a, a)
+          if (parent.get(b) == null) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer[Row]()
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) {
+        val n = keys.next()
+        val r = find(n)
+        if (r != n) out += Row(r, n)
+      }
+      out.iterator
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** large-star: for each node u, connect every strictly larger neighbor to
@@ -90,7 +175,10 @@ object Cluster {
       .distinct()
   }
 
-  /** Cheap fixed-point signature: (|E|, sum of row hashes) — order-independent. */
+  /** Cheap fixed-point signature: (|E|, xor of row hashes) — order-independent.
+    * Always evaluated against edges that `truncate`/`onIteration` just
+    * materialized, so this is one scan of cached blocks, not a plan recompute.
+    */
   private def signature(edges: DataFrame): (Long, Long) = {
     val r = edges.agg(
       count("*").as("n"),

@@ -47,12 +47,14 @@ object ErPipeline {
     doc
   }
 
-  /** Declarative violation counter over the raw docs table (test/metrics use). */
+  /** Declarative violation counter over the raw docs table (test/metrics use).
+    * `greatest(size(spans)-1, 0)` guards the slice length: a doc with zero
+    * spans is vacuously ordered, not a SparkRuntimeException.
+    */
   def invariantViolations(docs: DataFrame): Long = {
-    val offsets = expr("transform(spans, s -> s.offset)")
     val increasing = expr(
-      "forall(zip_with(slice(transform(spans, s -> s.offset), 1, size(spans)-1)," +
-        " slice(transform(spans, s -> s.offset), 2, size(spans)-1)," +
+      "forall(zip_with(slice(transform(spans, s -> s.offset), 1, greatest(size(spans)-1, 0))," +
+        " slice(transform(spans, s -> s.offset), 2, greatest(size(spans)-1, 0))," +
         " (a, b) -> b > a), x -> x)")
     val shapeOk = expr(
       "forall(spans, s -> IF(s.kind = 'media', s.media_ref is not null and s.text is null," +
@@ -76,8 +78,8 @@ object ErPipeline {
     import spark.implicits._
 
     val increasing = expr(
-      "coalesce(forall(zip_with(slice(transform(spans, s -> s.offset), 1, size(spans)-1)," +
-        " slice(transform(spans, s -> s.offset), 2, size(spans)-1)," +
+      "coalesce(forall(zip_with(slice(transform(spans, s -> s.offset), 1, greatest(size(spans)-1, 0))," +
+        " slice(transform(spans, s -> s.offset), 2, greatest(size(spans)-1, 0))," +
         " (a, b) -> b > a), x -> x), true)")
     val shapeOk = expr(
       "coalesce(forall(spans, s -> IF(s.kind = 'media'," +
@@ -193,8 +195,12 @@ object ErPipeline {
   /** Record-linkage mode (J2, `[D Processor.java#link]`): candidate pairs
     * between two distinct corpora on the shared blocking key — inner equi-join
     * A x B (no triangular dedup needed; sides are disjoint by construction).
-    * Hot keys are salted on the B side and replicated on the A side, bounding
-    * task size exactly like the dedup self-join.
+    * Skew is judged on BOTH sides: a key is dropped when either side exceeds
+    * `maxBlockSize` (dropped mass reported as |A_k|·|B_k| — actual pair count,
+    * consistent with `pairs`' n·(n−1)/2), and salted on max(|A_k|, |B_k|), so
+    * per-(key, salt) task output is bounded regardless of which corpus is hot.
+    * Only keys present in BOTH corpora matter — a key hot on one side but
+    * absent from the other produces no pairs and is neither dropped nor salted.
     */
   def linkPairs(
       blocksA: Dataset[BlockRow],
@@ -203,18 +209,24 @@ object ErPipeline {
     val spark = blocksA.sparkSession
     import spark.implicits._
 
-    val keyCounts = blocksB.groupBy($"key").agg(count("*").as("n"))
+    val keyCounts = blocksA.groupBy($"key").agg(count("*").as("na"))
+      .join(blocksB.groupBy($"key").agg(count("*").as("nb")), "key")
+      .withColumn("n", greatest($"na", $"nb"))
     val dropped = keyCounts.filter($"n" > cfg.maxBlockSize)
       .agg(count("*").as("blocks"),
-        coalesce(sum($"n".cast("double")), lit(0.0)).as("mass"))
+        coalesce(sum(($"na" * $"nb").cast("double")), lit(0.0)).as("mass"))
       .collect()(0)
 
     // heavy tail only, as in `pairs` (broadcast never scales with distinct keys)
     val dropKeys = keyCounts.filter($"n" > cfg.maxBlockSize)
       .select($"key", lit(true).as("__drop"))
+    // salt the LARGER side by doc-id hash, replicate the SMALLER side across
+    // all salt buckets — replication volume is |smaller|·salts, never
+    // |larger|·salts (the wrong-way replication would explode a hot A side)
     val hotKeys = keyCounts
       .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
-      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
+      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"),
+        ($"na" >= $"nb").as("saltA"))
     val nSalted = hotKeys.count()
 
     def salted(blocks: Dataset[BlockRow]) = blocks
@@ -222,12 +234,15 @@ object ErPipeline {
       .where($"__drop".isNull)
       .join(broadcast(hotKeys), Seq("key"), "left")
       .withColumn("salts", coalesce($"salts", lit(1)))
-    val b = salted(blocksB)
-      .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
-      .select($"key", $"doc_id".as("b_id"), $"salt")
+      .withColumn("saltA", coalesce($"saltA", lit(true)))
+    val hashSalt = pmod(xxhash64($"doc_id"), $"salts").cast("int")
+    val allSalts = sequence(lit(0), $"salts" - 1)
     val a = salted(blocksA)
-      .withColumn("salt", explode(sequence(lit(0), $"salts" - 1)))
+      .withColumn("salt", explode(when($"saltA", array(hashSalt)).otherwise(allSalts)))
       .select($"key", $"doc_id".as("a_id"), $"salt")
+    val b = salted(blocksB)
+      .withColumn("salt", explode(when(!$"saltA", array(hashSalt)).otherwise(allSalts)))
+      .select($"key", $"doc_id".as("b_id"), $"salt")
 
     val pairs = a.join(b, Seq("key", "salt"))
       .groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))

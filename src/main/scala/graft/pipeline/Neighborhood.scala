@@ -11,32 +11,39 @@ import org.apache.spark.sql.functions._
   * Scale path: a naive `row_number() OVER (ORDER BY key)` funnels the whole
   * table through ONE task. Here the global rank is computed distributed —
   * range-partition by the sort key, rank locally per partition, then add
-  * broadcast per-partition offsets (two narrow passes + one tiny driver agg);
-  * the neighborhood join is equi-ized by exploding each row to its `w`
-  * successor ranks, so it stays a hash join, never a nested loop.
+  * per-partition offsets via a broadcast join; the neighborhood join is
+  * equi-ized by exploding each row to its `w` successor ranks, so it stays a
+  * hash join, never a nested loop.
   */
 object Neighborhood {
 
   /** Globally contiguous dense rank (1-based) by (key, id) without a
     * single-partition sort. Output: input columns + `rank`.
+    *
+    * The range partitioning is **pinned by an eager localCheckpoint** before
+    * anything reads it: `repartitionByRange` boundaries are sample-based and
+    * not stable across separate executions of the same plan, so the offsets
+    * job and the consuming job MUST observe one physical partitioning — at
+    * scale the reservoir sample differs run to run and unpinned offsets would
+    * silently mismatch (duplicate/skipped ranks).
+    *
+    * Offsets are a one-row-per-partition frame cumulated with a single-task
+    * window (≤ `partitions` rows — trivially small) and broadcast-joined back:
+    * no chained `when()` offset expression, so codegen survives 10⁴ partitions.
     */
   def globalRank(df: DataFrame, key: Column, id: Column, partitions: Int): DataFrame = {
-    val ranged = df
-      .repartitionByRange(partitions, key, id)
+    val ranged = df.repartitionByRange(partitions, key, id).localCheckpoint(true)
+    val local = ranged
       .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__lrn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(key, id)))
-    // per-partition counts -> cumulative offsets (tiny: one row per partition)
-    val counts = local.groupBy(col("__pid")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cum = counts.keys.toSeq.sorted.foldLeft((Map.empty[Int, Long], 0L)) {
-      case ((m, acc), pid) => (m + (pid -> acc), acc + counts(pid))
-    }._1
-    val offsetExpr = cum.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
-    local.withColumn("rank", col("__lrn").cast("long") + offsetExpr)
-      .drop("__pid", "__lrn")
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(key, id)))
+    val cumw = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid")).count()
+      .withColumn("__off", coalesce(sum(col("count")).over(cumw), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("rank", col("__lrn").cast("long") + col("__off"))
+      .drop("__pid", "__lrn", "__off")
   }
 
   /** Candidate pairs (a_id, b_id): every record with its 1..w successors in

@@ -64,4 +64,33 @@ class ClusterSpec extends SparkSpec {
     assert(got.values.toSet === Set("a1"))
     assert(got.keySet === Set("z9", "m5", "a1", "q7"))
   }
+
+  test("pre-contraction on/off produce identical labelings (long chains, long ids)") {
+    import spark.implicits._
+    // three chains of length 80 over LONG ids — the adversarial diameter case
+    val edges = (0 until 3).flatMap(c => (0 until 80).map(i => (c * 1000L + i, c * 1000L + i + 1)))
+    val df = edges.toDF("x", "y").repartition(13)
+    def run(pc: Boolean) = Cluster.connectedComponents(df, preContract = pc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val withC = run(true)
+    val withoutC = run(false)
+    assert(withC === withoutC)
+    assert(withC.values.toSet === Set(0L, 1000L, 2000L))
+    assert(withC.size === 3 * 81)
+  }
+
+  test("reliable-checkpoint truncation path (checkpoint dir set) matches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val df = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L)).toDF("x", "y")
+      val got = Cluster.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    } finally {
+      // leave no checkpoint dir behind for other suites sharing the session
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }

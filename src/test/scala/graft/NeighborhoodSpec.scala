@@ -23,6 +23,19 @@ class NeighborhoodSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("globalRank survives partition counts far above the data (codegen-safe offsets)") {
+    import spark.implicits._
+    // 200 requested range partitions over 150 rows: many empty partitions, the
+    // broadcast-join offset path must still produce a contiguous 1..n rank
+    val rows = (1 to 150).map(i => (f"id$i%04d", s"k${i % 13}%02d"))
+    val df = rows.toDF("id", "k").repartition(17)
+    val got = Neighborhood.globalRank(df, col("k"), col("id"), partitions = 200)
+      .select("id", "rank").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val want = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), ix) => id -> (ix + 1L) }.toMap
+    assert(got === want)
+  }
+
   test("pairs == naive window pairs (w=3)") {
     import spark.implicits._
     val r = new scala.util.Random(59)
