@@ -1,0 +1,91 @@
+package graft
+
+/** DuckDB SQL reconstructions of graft kernels for the driver's oracle compare
+  * (SparkEntry.oracleSql). Each builder was validated in-session against the
+  * corresponding JVM kernel over the full sf0.01 pair set (0 mismatches at
+  * micro rounding) plus golden vectors; see SparkEntry's oracle-parity
+  * conventions for why these are bit-reproducible.
+  */
+object DuckSql {
+
+  /** American Soundex (graft.core.Phonetics.soundex): strip non-letters,
+    * uppercase; H/W removed from positions ≥ 2 (transparent — they neither
+    * emit nor reset a run); adjacent-dedup of char codes against the raw
+    * previous (vowels reset runs via code 0); drop zeros; pad to 4.
+    */
+  def soundex(name: String): String = {
+    def code(c: String) =
+      s"(CASE WHEN $c IN ('B','F','P','V') THEN 1 " +
+        s"WHEN $c IN ('C','G','J','K','Q','S','X','Z') THEN 2 " +
+        s"WHEN $c IN ('D','T') THEN 3 WHEN $c = 'L' THEN 4 " +
+        s"WHEN $c IN ('M','N') THEN 5 WHEN $c = 'R' THEN 6 ELSE 0 END)"
+    s"""(SELECT CASE WHEN up = '' THEN '' ELSE
+       |   substr(up,1,1) || rpad(array_to_string(list_transform(
+       |     (list_filter(cs, (x,i) -> i > 1 AND x > 0 AND x <> cs[i-1]))[1:3],
+       |     d -> CAST(d AS VARCHAR)), ''), 3, '0') END
+       | FROM (SELECT up, CASE WHEN up = '' THEN [] ELSE
+       |         [${code("substr(up,1,1)")}] ||
+       |         list_transform(list_filter(list_transform(generate_series(2, length(up)), i -> substr(up, i, 1)),
+       |           c -> c NOT IN ('H','W')), c -> ${code("c")}) END AS cs
+       |       FROM (SELECT upper(regexp_replace($name, '[^A-Za-z]', '', 'g')) AS up)))""".stripMargin
+  }
+
+  /** Norphone (graft.core.Phonetics.norphone): the exact replace chain in the
+    * kernel's order, then adjacent-double collapse.
+    */
+  def norphone(name: String): String = {
+    var w = s"upper($name)"
+    w = s"replace(replace(replace($w, 'AA', 'Å'), 'AE', 'Æ'), 'OE', 'Ø')"
+    w = s"regexp_replace($w, '[^A-ZÅÆØ]', '', 'g')"
+    for ((pat, rep) <- Seq("^GJ" -> "J", "^HJ" -> "J", "^LJ" -> "J",
+        "^SKJ" -> "X", "^KJ" -> "X", "^TJ" -> "X"))
+      w = s"regexp_replace($w, '$pat', '$rep')"
+    for ((a, b) <- Seq("SKJ" -> "X", "CH" -> "K", "CK" -> "K", "GH" -> "K",
+        "PH" -> "F", "TH" -> "T", "HG" -> "K", "Æ" -> "E", "Ø" -> "O", "Å" -> "O",
+        "C" -> "K", "Q" -> "K", "W" -> "V", "Z" -> "S", "X" -> "KS"))
+      w = s"replace($w, '$a', '$b')"
+    s"""(SELECT array_to_string(list_filter(chs, (c,i) -> i = 1 OR c <> chs[i-1]), '')
+       | FROM (SELECT list_transform(generate_series(1, length(w0)), i -> substr(w0, i, 1)) AS chs
+       |       FROM (SELECT $w AS w0)))""".stripMargin
+  }
+
+  /** Whitespace-run token list, empties removed (kernel: split("\\s+")). */
+  def wsTokens(c: String): String =
+    s"list_filter(regexp_split_to_array($c, '\\s+'), t -> t <> '')"
+
+  /** Unboosted Jaro-Winkler (graft's Duke-parity variant — no 0.7 boost
+    * threshold): jw = j + l·0.1·(1−j) with common-prefix l ≤ 4. DuckDB's
+    * jaro_similarity is bit-identical to graft's jaro on the tested corpus.
+    */
+  def jaroWinklerUnboosted(x: String, y: String): String = {
+    val j = s"jaro_similarity($x, $y)"
+    val l = s"(CASE WHEN length($x) < 1 OR length($y) < 1 OR substr($x,1,1) <> substr($y,1,1) THEN 0 " +
+      s"WHEN length($x) < 2 OR length($y) < 2 OR substr($x,1,2) <> substr($y,1,2) THEN 1 " +
+      s"WHEN length($x) < 3 OR length($y) < 3 OR substr($x,1,3) <> substr($y,1,3) THEN 2 " +
+      s"WHEN length($x) < 4 OR length($y) < 4 OR substr($x,1,4) <> substr($y,1,4) THEN 3 " +
+      s"ELSE 4 END)"
+    s"($j + $l * 0.1 * (1 - $j))"
+  }
+
+  /** JaroWinklerTokenized over two token-list columns `ta`, `tb`: per-token
+    * best unboosted JW, symmetric mean (graft.core.Similarity.jaroWinklerTokenized).
+    */
+  def jwTokenized(ta: String, tb: String): String = {
+    val jw = jaroWinklerUnboosted("x", "y")
+    s"(list_sum(list_transform($ta, x -> list_max(list_transform($tb, y -> $jw)))) / len($ta)" +
+      s" + list_sum(list_transform($tb, x -> list_max(list_transform($ta, y -> $jw)))) / len($tb)) / 2.0"
+  }
+
+  /** Haversine similarity in the kernel's exact operation order
+    * (graft.core.Similarity.geoSim): Java toRadians is x/180·π, distance
+    * 2·R·asin(min(1,√h)), sim = max(0, 1 − d/maxMeters).
+    */
+  def haversineSim(lat1: String, lon1: String, lat2: String, lon2: String,
+      maxMeters: Double): String = {
+    def rad(x: String) = s"(($x) / 180.0 * pi())"
+    val h = s"pow(sin(${rad(s"$lat2 - $lat1")} / 2), 2) + " +
+      s"cos(${rad(lat1)}) * cos(${rad(lat2)}) * pow(sin(${rad(s"$lon2 - $lon1")} / 2), 2)"
+    val d = s"2 * 6371008.8 * asin(LEAST(1.0, sqrt($h)))"
+    s"GREATEST(0.0, 1.0 - ($d) / $maxMeters)"
+  }
+}

@@ -282,32 +282,55 @@ object SparkEntry {
         .unionByName(nonBuyers.withColumn("kind", lit("non_buyer")))
     }),
 
-    // ---------------- comparators without an exact DuckDB twin (rows-only) ----------------
+    // ---------------- phonetic comparators, fully oracled (K10, K11-norphone) ----------------
+    // DuckDB reproduces Soundex as a pure char-code-list pipeline and Norphone
+    // as the same replace-chain + adjacent-dedup — verified 0 mismatches over
+    // the whole pair set AND the classic golden vectors (Robert/R163 etc.).
     "q_pair_soundex_phonetic" -> ((s, dir) => {
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
         soundex_code(col("c_name")).as("sdx_a"),
         micro(sim_soundex(col("c_name"), col("s_name"))).as("sdx_eq_micro"),
-        micro(sim_metaphone(col("c_name"), col("s_name"))).as("mp_eq_micro"),
+        norphone_code(col("c_name")).as("np_a"),
         micro(sim_norphone(col("c_name"), col("s_name"))).as("np_eq_micro"))
     }),
-    "q_pair_advanced_sims" -> ((s, dir) => {
+
+    // ---------------- JW-tokenized, fully oracled (K5) ----------------
+    // DuckDB jaro_similarity is bit-identical to graft's jaro over the whole
+    // pair set (no 0.7 agreement zone needed); the unboosted Winkler bonus and
+    // the per-token max / symmetric mean are restated in SQL.
+    "q_pair_jw_tokenized" -> ((s, dir) => {
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_jaro_winkler_tokenized(col("c_name"), col("s_name"))).as("jwt_micro"))
+    }),
+
+    // ---------------- geoposition, fully oracled (K13) ----------------
+    // integer-degree coordinates (identical string form in both engines);
+    // haversine restated in DuckDB in the kernel's exact operation order —
+    // verified 0 micro-mismatches (libm vs JVM diverge ~1 ulp, far below 1e-6).
+    "q_pair_geo" -> ((s, dir) => {
+      val ga = concat((col("c_custkey") % 5 + 40).cast("string"), lit(","),
+        (col("c_custkey") % 7 + 20).cast("string"))
+      val gb = concat((col("s_suppkey") % 5 + 40).cast("string"), lit(","),
+        (col("s_suppkey") % 7 + 20).cast("string"))
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_geoposition(ga, gb, 1000000.0)).as("geo_micro"))
+    }),
+
+    // ---------------- comparators DuckDB genuinely cannot express (rows-only) ----------------
+    // Residual by construction, not omission: weighted-Levenshtein and LCS are
+    // iterative DP, Metaphone is a stateful FSM, person-name does greedy
+    // assignment — none restatable as DuckDB SQL. Pinned by golden kernel
+    // tests (SimilaritySpec) instead; the driver records a rows-only check.
+    "q_pair_residual_sims" -> ((s, dir) => {
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
         micro(sim_person_name(col("c_name"), col("s_name"))).as("person_micro"),
-        micro(sim_jaro_winkler_tokenized(col("c_name"), col("s_name"))).as("jwt_micro"),
         micro(sim_weighted_levenshtein(col("c_name"), col("s_name"), 2.0)).as("wlev_micro"),
-        micro(sim_lcs(col("c_name"), col("s_name"))).as("lcs_micro"))
-    }),
-    "q_pair_geo" -> ((s, dir) => {
-      // synthetic deterministic "lat,lon" strings from acctbal/nationkey
-      val ga = concat(round(col("c_acctbal") / lit(200.0), 4).cast("string"), lit(","),
-        (col("c_nationkey") * 3).cast("string"))
-      val gb = concat(round(col("s_acctbal") / lit(200.0), 4).cast("string"), lit(","),
-        (col("s_nationkey") * 3).cast("string"))
-      pairSet(s, dir).select(
-        col("c_custkey"), col("s_suppkey"),
-        micro(sim_geoposition(ga, gb, 500000.0)).as("geo_micro"))
+        micro(sim_lcs(col("c_name"), col("s_name"))).as("lcs_micro"),
+        micro(sim_metaphone(col("c_name"), col("s_name"))).as("mp_eq_micro"))
     }))
 
   def oracleSql: Map[String, String] = baseOracles ++ trainingOracles
@@ -491,7 +514,30 @@ object SparkEntry {
          |best AS (SELECT c_custkey, max(jw_micro) AS best_micro FROM scored GROUP BY 1)
          |SELECT s.c_custkey, b.best_micro, min(s.s_suppkey) AS best_suppkey
          |FROM scored s JOIN best b ON s.c_custkey = b.c_custkey AND s.jw_micro = b.best_micro
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    "q_pair_soundex_phonetic" ->
+      s"""SELECT c_custkey, s_suppkey,
+         |  ${DuckSql.soundex("c_name")} AS sdx_a,
+         |  CASE WHEN ${DuckSql.soundex("c_name")} = ${DuckSql.soundex("s_name")}
+         |       THEN 1000000 ELSE 0 END AS sdx_eq_micro,
+         |  ${DuckSql.norphone("c_name")} AS np_a,
+         |  CASE WHEN ${DuckSql.norphone("c_name")} = ${DuckSql.norphone("s_name")}
+         |       THEN 1000000 ELSE 0 END AS np_eq_micro
+         |$pairSetSql""".stripMargin,
+    "q_pair_jw_tokenized" ->
+      s"""SELECT c_custkey, s_suppkey,
+         |  ${microSql(DuckSql.jwTokenized("ta", "tb"))} AS jwt_micro
+         |FROM (SELECT c_custkey, s_suppkey,
+         |        ${DuckSql.wsTokens("c_name")} AS ta, ${DuckSql.wsTokens("s_name")} AS tb
+         |      $pairSetSql)""".stripMargin,
+    "q_pair_geo" -> {
+      val sim = DuckSql.haversineSim(
+        "CAST(c_custkey % 5 + 40 AS DOUBLE)", "CAST(c_custkey % 7 + 20 AS DOUBLE)",
+        "CAST(s_suppkey % 5 + 40 AS DOUBLE)", "CAST(s_suppkey % 7 + 20 AS DOUBLE)",
+        maxMeters = 1000000.0)
+      s"""SELECT c_custkey, s_suppkey, ${microSql(sim)} AS geo_micro
+         |$pairSetSql""".stripMargin
+    })
 
   // ================= training-data pipeline ops (dedup / simsearch / text / multimodal) =================
 

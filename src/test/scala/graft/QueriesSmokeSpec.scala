@@ -18,8 +18,9 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every oracle has a query; only known rows-only queries lack oracles") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // comparators with no exact DuckDB twin get the driver's rows-only check
-    assert(rowsOnly === Set("q_pair_soundex_phonetic", "q_pair_advanced_sims", "q_pair_geo"),
+    // the single residual: DP/FSM comparators DuckDB genuinely cannot express
+    // (weighted-levenshtein, LCS, metaphone, person-name) — golden-tested instead
+    assert(rowsOnly === Set("q_pair_residual_sims"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
