@@ -274,6 +274,34 @@ object SparkEntry {
         col("c_custkey"),
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("id_digits"))
     }),
+
+    // ---------------- config-reachable parameterized cleaners (C8/C9) ----------------
+    // the SAME CleanExpr path a plugin-style JSON config reaches via
+    // Cleaners.resolve: regexp(pattern,group) incl. the no-match -> NULL
+    // semantics (Duke: no evidence), and inline mapping dictionaries
+    "q_cleaner_regexp_cfg" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        clean("regexp(([A-Za-z]+)#([0-9]+),2)", col("c_name")).as("id_part"),
+        clean("regexp(([0-9]+),1)", col("c_mktsegment")).as("seg_digits"))
+    }),
+    "q_cleaner_mapping" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        clean("mapping(AUTOMOBILE=auto|BUILDING=bldg|FURNITURE=furn)",
+          col("c_mktsegment")).as("seg_mapped"))
+    }),
+
+    // ---------------- Norwegian address cleaner (C7 completion) ----------------
+    "q_cleaner_address" -> ((s, dir) => {
+      val raw = when(col("s_suppkey") % 4 === 0, "Storgt. 12")
+        .when(col("s_suppkey") % 4 === 1, "Storgata 12")
+        .when(col("s_suppkey") % 4 === 2, "Kirkevn 3B")
+        .otherwise("Hovedvei 8")
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        clean("address-norwegian", raw).as("addr_norm"))
+    }),
     "q_set_ops" -> ((s, dir) => {
       val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
       val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -499,6 +527,23 @@ object SparkEntry {
     "q_cleaner_regexp" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS id_digits
         |FROM customer""".stripMargin,
+    "q_cleaner_regexp_cfg" ->
+      """SELECT c_custkey,
+        |  CASE WHEN regexp_matches(c_name, '([A-Za-z]+)#([0-9]+)')
+        |       THEN regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) ELSE NULL END AS id_part,
+        |  CASE WHEN regexp_matches(c_mktsegment, '([0-9]+)')
+        |       THEN regexp_extract(c_mktsegment, '([0-9]+)', 1) ELSE NULL END AS seg_digits
+        |FROM customer""".stripMargin,
+    "q_cleaner_mapping" ->
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'auto' WHEN 'BUILDING' THEN 'bldg'
+        |       WHEN 'FURNITURE' THEN 'furn' ELSE c_mktsegment END AS seg_mapped
+        |FROM customer""".stripMargin,
+    "q_cleaner_address" ->
+      """SELECT s_suppkey,
+        |  CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'storgate 12' WHEN 1 THEN 'storgate 12'
+        |       WHEN 2 THEN 'kirkeveien 3b' ELSE 'hovedveien 8' END AS addr_norm
+        |FROM supplier""".stripMargin,
     "q_set_ops" ->
       """SELECT c_custkey AS custkey, 'buyer' AS kind FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)

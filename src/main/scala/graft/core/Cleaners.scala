@@ -107,6 +107,36 @@ object Cleaners {
     n.split(' ').filterNot(companySuffixes.contains).mkString(" ")
   }
 
+  /** Duke NorwegianAddressCleaner-style normalization
+    * (`[D cleaners/NorwegianAddressCleaner.java]`): normalize + expand the
+    * common Norwegian street/postal abbreviations to canonical tokens, so
+    * "Storgt. 12" and "Storgata 12" compare equal. Reconstructed from the
+    * cleaner's published purpose; exact token list pinned by golden tests.
+    */
+  private val addressAbbrev = Map(
+    "gt" -> "gate", "gata" -> "gate", "gaten" -> "gate",
+    "vn" -> "veien", "v" -> "veien", "vei" -> "veien", "vegen" -> "veien",
+    "pb" -> "postboks", "pl" -> "plass", "plassen" -> "plass")
+  // longest-suffix-first, then lexicographic: deterministic expansion order
+  private val addressSuffixes = addressAbbrev.toSeq
+    .filter(_._1.length > 1).sortBy { case (ab, _) => (-ab.length, ab) }
+  def norwegianAddress(s: String): String = {
+    if (s == null) return null
+    val n = lowerCaseNormalize(s)
+    // suffix-fused street names: "storgt 12" / "storgata 12" -> "storgate 12"
+    val defused = n.split(' ').map { t =>
+      addressAbbrev.get(t) match {
+        case Some(full) => full
+        case None =>
+          addressSuffixes.collectFirst {
+            case (ab, full) if t.length > ab.length && t.endsWith(ab) =>
+              t.dropRight(ab.length) + full
+          }.getOrElse(t)
+      }
+    }
+    defused.mkString(" ")
+  }
+
   /** Duke PersonNameCleaner `[D cleaners/PersonNameCleaner.java]`: normalize + known
     * nickname mapping (subset; extensible via `mapping`).
     */
@@ -137,6 +167,7 @@ object Cleaners {
       "phone-number" -> phoneNumber,
       "family-comma-given" -> familyCommaGiven,
       "company-name" -> companyName,
+      "address-norwegian" -> norwegianAddress,
       "person-name" -> personName)
     val dukeAliases = Map(
       "no.priv.garshol.duke.cleaners.TrimCleaner" -> "trim",
@@ -145,16 +176,98 @@ object Cleaners {
       "no.priv.garshol.duke.cleaners.PhoneNumberCleaner" -> "phone-number",
       "no.priv.garshol.duke.cleaners.FamilyCommaGivenCleaner" -> "family-comma-given",
       "no.priv.garshol.duke.cleaners.NorwegianCompanyNameCleaner" -> "company-name",
+      "no.priv.garshol.duke.cleaners.NorwegianAddressCleaner" -> "address-norwegian",
       "no.priv.garshol.duke.cleaners.PersonNameCleaner" -> "person-name")
     base ++ dukeAliases.map { case (k, v) => k -> base(v) }
   }
 
-  /** Single-step clean by registry name (static entry point for codegen). */
-  def clean(name: String, s: String): String = registry(name)(s)
+  /** Normalize a cleaner spec: Duke class names -> short names, including the
+    * parameterized forms (`RegexpCleaner(...)` -> `regexp(...)` etc.).
+    */
+  def normalizeSpec(spec: String): String = {
+    val s = spec.stripPrefix("no.priv.garshol.duke.cleaners.")
+    if (s.startsWith("RegexpCleaner(")) "regexp(" + s.stripPrefix("RegexpCleaner(")
+    else if (s.startsWith("MappingFileCleaner(")) "mapping-file(" + s.stripPrefix("MappingFileCleaner(")
+    else s
+  }
+
+  /** Resolve a cleaner spec to a function. Beyond the parameterless registry,
+    * compact parameterized forms are accepted (C8/C9 config reachability —
+    * these are what `MatchConfig.fromJson` emits for object-style entries):
+    *
+    *   - `regexp(<pattern>)` — keep group 1 of the first match, null if none
+    *   - `regexp(<pattern>,<group>)` — explicit group (trailing `,<int>`; a
+    *     pattern ending in `,digits` must spell the group explicitly)
+    *   - `mapping(k1=v1|k2=v2)` — inline whole-value dictionary
+    *   - `mapping-file(<path>)` — Duke MappingFileCleaner: `from,to` (or
+    *     `from=to`) lines read once at resolve time; the file must be
+    *     reachable from executors (distribute via `--files`, as with Duke)
+    *
+    * Duke class-name forms (`no.priv.garshol.duke.cleaners.RegexpCleaner(...)`)
+    * normalize to the above. Regex patterns are compiled once per spec.
+    */
+  def resolve(spec0: String): String => String = {
+    val spec = normalizeSpec(spec0)
+    val TrailingGroup = "(?s)^(.*),(\\d+)$".r
+    if (spec.startsWith("regexp(") && spec.endsWith(")")) {
+      val body = spec.substring("regexp(".length, spec.length - 1)
+      val (pat, grp) = body match {
+        case TrailingGroup(p, g) => (p, g.toInt)
+        case _                   => (body, 1)
+      }
+      val compiled = java.util.regex.Pattern.compile(pat)
+      (s: String) =>
+        if (s == null) null
+        else { val m = compiled.matcher(s); if (m.find()) m.group(grp) else null }
+    } else if (spec.startsWith("mapping(") && spec.endsWith(")")) {
+      val dict = spec.substring("mapping(".length, spec.length - 1)
+        .split('|').iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"mapping entry '$kv' must be k=v")
+          kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap
+      (s: String) => mapping(s, dict)
+    } else if (spec.startsWith("mapping-file(") && spec.endsWith(")")) {
+      val path = spec.substring("mapping-file(".length, spec.length - 1)
+      val dict = {
+        val src = scala.io.Source.fromFile(path, "UTF-8")
+        try src.getLines().filter(_.nonEmpty).map { line =>
+          val i = { val c = line.indexOf(','); if (c >= 0) c else line.indexOf('=') }
+          require(i > 0, s"mapping line '$line' must be from,to")
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+        finally src.close()
+      }
+      (s: String) => mapping(s, dict)
+    } else registry.get(spec0).orElse(registry.get(spec)).getOrElse(
+      throw new IllegalArgumentException(s"unknown cleaner $spec0"))
+  }
+
+  // resolved-spec cache: parameterized cleaners (compiled regex, loaded dict)
+  // are constructed once per spec per JVM, not once per row
+  private val resolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String => String]()
+
+  /** Single-step clean by registry name or parameterized spec (static entry
+    * point for codegen).
+    */
+  def clean(name: String, s: String): String = {
+    var f = resolvedCache.get(name)
+    if (f == null) { f = resolve(name); resolvedCache.put(name, f) }
+    f(s)
+  }
+
+  /** Pre-resolved cleaner chain: specs resolved once, applied per value (the
+    * mapPartitions scorer path).
+    */
+  def compileChain(names: Seq[String]): String => String = {
+    val fns = names.map(resolve)
+    (s: String) => fns.foldLeft(s)((acc, f) => if (acc == null) null else f(acc))
+  }
 
   /** Ordered cleaner chain, as the reference applies to both sides
     * `[U EntityResolutionScript.java#ctor]`.
     */
   def chain(names: Seq[String], s: String): String =
-    names.foldLeft(s)((acc, n) => if (acc == null) null else registry(n)(acc))
+    names.foldLeft(s)((acc, n) => if (acc == null) null else clean(n, acc))
 }

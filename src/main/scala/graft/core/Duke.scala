@@ -56,14 +56,21 @@ object Duke {
     */
   final class CompiledProperty(val spec: PropertySpec) extends Serializable {
     @transient private var fn0: (String, String, Array[Double]) => Double = _
+    @transient private var chain0: String => String = _
     private val params: Array[Double] = spec.params.toArray
     private def fn: (String, String, Array[Double]) => Double = {
       if (fn0 == null) fn0 = Similarity.registry(spec.comparator)
       fn0
     }
+    // cleaner chain resolved once per task (compiled regexes / loaded dicts),
+    // not once per value — Cleaners.compileChain handles parameterized specs
+    private def cleanChain: String => String = {
+      if (chain0 == null) chain0 = Cleaners.compileChain(spec.cleaners)
+      chain0
+    }
     def cleanedValues(raw: Seq[String]): Seq[String] =
       if (raw == null) Nil
-      else raw.map(v => Cleaners.chain(spec.cleaners, v)).filter(v => v != null && v.nonEmpty)
+      else raw.map(cleanChain).filter(v => v != null && v.nonEmpty)
     /** factor over already-cleaned values */
     def factor(v1: Seq[String], v2: Seq[String]): Option[Double] =
       propertyFactor(v1, v2, spec, fn, params)
@@ -80,11 +87,14 @@ object Duke {
       var i = 0
       while (i < properties.length) {
         val p = properties(i)
-        p.factor(
-          a.getOrElse(p.spec.name, Nil),
-          b.getOrElse(p.spec.name, Nil)) match {
-          case Some(f) => acc = bayes(acc, f)
-          case None    =>
+        // id/ignore properties are never evidence (`[D Property.java]` flags)
+        if (p.spec.isEvidence) {
+          p.factor(
+            a.getOrElse(p.spec.name, Nil),
+            b.getOrElse(p.spec.name, Nil)) match {
+            case Some(f) => acc = bayes(acc, f)
+            case None    =>
+          }
         }
         i += 1
       }

@@ -24,6 +24,8 @@ final class DukeArrayKernel(val config: MatchConfig) extends Serializable {
   private val lows: Array[Double] = config.properties.map(_.low).toArray
   private val highs: Array[Double] = config.properties.map(_.high).toArray
   private val params: Array[Array[Double]] = config.properties.map(_.params.toArray).toArray
+  // id/ignore properties contribute no evidence (Duke Property flags)
+  private val evidence: Array[Boolean] = config.properties.map(_.isEvidence).toArray
 
   /** arrs(2i) / arrs(2i+1) = sides of property i; null entry = missing side. */
   def score(arrs: Array[ArrayData]): Double = {
@@ -33,7 +35,7 @@ final class DukeArrayKernel(val config: MatchConfig) extends Serializable {
     while (i < n) {
       val a = arrs(2 * i)
       val b = arrs(2 * i + 1)
-      if (a != null && b != null && a.numElements() > 0 && b.numElements() > 0) {
+      if (evidence(i) && a != null && b != null && a.numElements() > 0 && b.numElements() > 0) {
         val fn = fns(i)
         val p = params(i)
         var best = Double.NegativeInfinity

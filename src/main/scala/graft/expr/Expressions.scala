@@ -65,26 +65,43 @@ case class SimExpr(left: Expression, right: Expression, method: String, args: Se
     copy(left = l, right = r)
 }
 
-/** Unary cleaner expression: one Duke cleaner step by registry name. */
+/** Unary cleaner expression: one Duke cleaner step by registry name or
+  * parameterized spec (`regexp(...)`, `mapping(...)` — see Cleaners.resolve).
+  * nullable even for non-null input: the regexp cleaner yields null on
+  * no-match (Duke semantics — no evidence, property skipped), so codegen sets
+  * isNull from the result, not only from the child.
+  */
 case class CleanExpr(child: Expression, cleaner: String)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = s"clean_${cleaner.replace('-', '_')}"
 
-  @transient private lazy val fn: String => String = Cleaners.registry(cleaner)
+  @transient private lazy val fn: String => String = Cleaners.resolve(cleaner)
 
   override protected def nullSafeEval(v: Any): Any = {
     val r = fn(v.toString)
     if (r == null) null else UTF8String.fromString(r)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"""org.apache.spark.unsafe.types.UTF8String.fromString(
-         |graft.core.Cleaners.clean("$cleaner", $c.toString()))""".stripMargin)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // cleaner spec as a Java string literal (regexp patterns carry \ and ")
+    val lit = "\"" + cleaner.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    } + "\""
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""String r = graft.core.Cleaners.clean($lit, $c.toString());
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(r); }
+         |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(c: Expression): CleanExpr = copy(child = c)
 }

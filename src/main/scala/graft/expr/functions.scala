@@ -126,7 +126,7 @@ object functions {
       config: MatchConfig,
       sides: String => (Column, Column),
       multiValued: Set[String] = Set.empty): Column =
-    config.properties.foldLeft(lit(0.5)) { (acc, spec) =>
+    config.properties.filter(_.isEvidence).foldLeft(lit(0.5)) { (acc, spec) =>
       val (a, b) = sides(spec.name)
       val f =
         if (multiValued(spec.name)) duke_factor_multi(spec, a, b)
@@ -151,7 +151,8 @@ object functions {
         one(s"sim_$sqlName", es => SimExpr(es(0), es(1), m))
       }
     Seq("trim", "lowercase-normalize", "digits-only", "phone-number",
-      "family-comma-given", "company-name", "person-name").foreach { c =>
+      "family-comma-given", "company-name", "address-norwegian",
+      "person-name").foreach { c =>
       one(s"clean_${c.replace('-', '_')}", es => CleanExpr(es.head, c))
     }
     Seq("soundex_code" -> "soundex", "metaphone_code" -> "metaphone",
@@ -163,14 +164,18 @@ object functions {
 
 private[expr] object Cleaning {
   def shortName(cleaner: String): String =
-    cleaner.stripPrefix("no.priv.garshol.duke.cleaners.") match {
+    graft.core.Cleaners.normalizeSpec(cleaner) match {
       case "TrimCleaner" | "trim"                                   => "trim"
       case "LowerCaseNormalizeCleaner" | "lowercase-normalize"      => "lowercase-normalize"
       case "DigitsOnlyCleaner" | "digits-only"                      => "digits-only"
       case "PhoneNumberCleaner" | "phone-number"                    => "phone-number"
       case "FamilyCommaGivenCleaner" | "family-comma-given"         => "family-comma-given"
       case "NorwegianCompanyNameCleaner" | "company-name"           => "company-name"
+      case "NorwegianAddressCleaner" | "address-norwegian"          => "address-norwegian"
       case "PersonNameCleaner" | "person-name"                      => "person-name"
+      // parameterized specs pass through verbatim (CleanExpr resolves them)
+      case p if p.startsWith("regexp(") || p.startsWith("mapping(")
+        || p.startsWith("mapping-file(")                            => p
       case other => throw new IllegalArgumentException(s"unknown cleaner $other")
     }
 }

@@ -20,8 +20,17 @@ case class EntityRecord(doc_id: String, props: Map[String, Seq[String]])
 
 /** Property matching spec — mirrors Duke `Property` + the plugin's query-JSON
   * field entry (`[D Property.java]`, `[U README.md#usage]`, SURVEY.md §1.2):
-  * ordered `cleaners` chain, `comparator` registry key, `low`/`high`
-  * probabilities, optional numeric comparator params (q, formula, maxMeters...).
+  * ordered `cleaners` chain (short names, Duke class names, or parameterized
+  * specs like `regexp(pat,group)` — see Cleaners.resolve), `comparator`
+  * registry key, `low`/`high` probabilities, optional numeric comparator
+  * params (q, formula, maxMeters...).
+  *
+  * Duke Property metadata flags (`[D Property.java]`):
+  *  - `idProperty`: identifies the record — NEVER compared as evidence;
+  *  - `ignoreProperty`: present but excluded from comparison;
+  *  - `lookup`: lookup behavior driving candidate retrieval — "default",
+  *    "required", "true" (include in blocking), "false" (never block on it).
+  *    `Blocking.fromConfig` derives exact-value keyers from required/true.
   */
 case class PropertySpec(
     name: String,
@@ -29,7 +38,15 @@ case class PropertySpec(
     comparator: String,
     low: Double,
     high: Double,
-    params: Seq[Double] = Nil)
+    params: Seq[Double] = Nil,
+    idProperty: Boolean = false,
+    ignoreProperty: Boolean = false,
+    lookup: String = "default") {
+  /** Compared as match evidence? (id/ignore properties are skipped — Duke
+    * `Processor.compare` consults only non-id, non-ignored props.)
+    */
+  def isEvidence: Boolean = !idProperty && !ignoreProperty
+}
 
 /** Full match configuration — mirrors Duke `Configuration` (`[D Configuration.java]`):
   * accept threshold + maybe threshold + ordered property list (fixed order for a
@@ -74,16 +91,58 @@ private[model] object JsonLite {
     def d(x: Any): Double = x.asInstanceOf[Double]
     val props = v("properties").asInstanceOf[List[Any]].map { p0 =>
       val p = p0.asInstanceOf[Map[String, Any]]
+      val isId = p.getOrElse("idProperty", false).asInstanceOf[Boolean]
+      val isIgn = p.getOrElse("ignoreProperty", false).asInstanceOf[Boolean]
       PropertySpec(
         name = p("name").asInstanceOf[String],
         cleaners = p.getOrElse("cleaners", List.empty[Any]).asInstanceOf[List[Any]]
-          .map(_.asInstanceOf[String]),
-        comparator = p("comparator").asInstanceOf[String],
-        low = d(p("low")),
-        high = d(p("high")),
-        params = p.getOrElse("params", List.empty[Any]).asInstanceOf[List[Any]].map(d))
+          .map(cleanerSpec),
+        // id/ignore properties are never compared; Duke configs omit their
+        // comparator/probabilities, so default them
+        comparator = p.getOrElse("comparator",
+          if (isId || isIgn) "exact" else p("comparator")).asInstanceOf[String],
+        low = d(p.getOrElse("low", 0.3)),
+        high = d(p.getOrElse("high", 0.7)),
+        params = p.getOrElse("params", List.empty[Any]).asInstanceOf[List[Any]].map(d),
+        idProperty = isId,
+        ignoreProperty = isIgn,
+        lookup = p.getOrElse("lookup", "default").asInstanceOf[String].toLowerCase)
     }
     MatchConfig(d(v("threshold")), d(v("maybeThreshold")), props)
+  }
+
+  /** A cleaner entry is a plain string spec, or an object for parameterized
+    * cleaners (plugin-JSON style), converted to the compact spec form:
+    *   {"name": "regexp", "pattern": "...", "group": 2}  -> regexp(...,2)
+    *   {"name": "mapping", "map": {"k": "v", ...}}       -> mapping(k=v|...)
+    *   {"name": "mapping-file", "file": "/path"}         -> mapping-file(/path)
+    * Duke class names accepted in "name". The group is always emitted so a
+    * pattern ending in ",digits" stays unambiguous.
+    */
+  private def cleanerSpec(c0: Any): String = c0 match {
+    case s: String => s
+    case m0 =>
+      val m = m0.asInstanceOf[Map[String, Any]]
+      val name = graft.core.Cleaners.normalizeSpec(m("name").asInstanceOf[String])
+        .stripSuffix("Cleaner") match {
+          case "Regexp" | "regexp"            => "regexp"
+          case "MappingFile" | "mapping-file" => "mapping-file"
+          case "mapping"                      => "mapping"
+          case other                          => other
+        }
+      name match {
+        case "regexp" =>
+          val grp = m.get("group").map(_.asInstanceOf[Double].toInt).getOrElse(1)
+          s"regexp(${m("pattern").asInstanceOf[String]},$grp)"
+        case "mapping" =>
+          val dict = m("map").asInstanceOf[Map[String, Any]]
+          val body = dict.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=${v.asInstanceOf[String]}" }.mkString("|")
+          s"mapping($body)"
+        case "mapping-file" =>
+          s"mapping-file(${m("file").asInstanceOf[String]})"
+        case other => other // parameterless cleaner written in object form
+      }
   }
 
   /** Returns (value, rest-index). Supports objects, arrays, strings, numbers,

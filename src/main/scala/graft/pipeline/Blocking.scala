@@ -67,4 +67,16 @@ object Blocking {
   val default: Seq[Keyer] = Seq(
     SoundexLastToken("name", "n:"),
     ExactValue("phone", "p:", minLen = 5))
+
+  /** Keyers derived from Duke lookup flags (`[D Property.java#getLookupBehaviour]`):
+    * every non-id property marked lookup=required/true blocks on its exact
+    * cleaned values. Falls back to `default` when no property is flagged (a
+    * config without lookups still needs candidate retrieval).
+    */
+  def fromConfig(config: graft.model.MatchConfig): Seq[Keyer] = {
+    val flagged = config.properties
+      .filter(p => !p.idProperty && (p.lookup == "required" || p.lookup == "true"))
+      .map(p => ExactValue(p.name, p.name + ":"): Keyer)
+    if (flagged.nonEmpty) flagged else default
+  }
 }

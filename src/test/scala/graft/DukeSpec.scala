@@ -139,4 +139,58 @@ class DukeSpec extends AnyFunSuite {
       Map("n" -> Seq("MARHTA")).map { case (k, v) => k -> cc2.properties(0).cleanedValues(v) })
     assert(s > 0.5)
   }
+
+  test("parameterized cleaners (C8/C9) round-trip through plugin-style JSON") {
+    val json =
+      """{ "threshold": 0.8, "maybeThreshold": 0.6, "properties": [
+        |  {"name": "zip",
+        |   "cleaners": [{"name": "no.priv.garshol.duke.cleaners.RegexpCleaner",
+        |                 "pattern": "([0-9]{4})", "group": 1}],
+        |   "comparator": "exact", "low": 0.2, "high": 0.9},
+        |  {"name": "city",
+        |   "cleaners": ["lowercase-normalize",
+        |                {"name": "mapping", "map": {"oslo": "0sl0"}}],
+        |   "comparator": "exact", "low": 0.2, "high": 0.9}
+        |] }""".stripMargin
+    val cfg = MatchConfig.fromJson(json)
+    assert(cfg.properties(0).cleaners === Seq("regexp(([0-9]{4}),1)"))
+    assert(cfg.properties(1).cleaners === Seq("lowercase-normalize", "mapping(oslo=0sl0)"))
+    val cc = Duke.compile(cfg)
+    assert(cc.properties(0).cleanedValues(Seq("N-0371 Oslo")) === Seq("0371"))
+    assert(cc.properties(0).cleanedValues(Seq("no digits here")) === Nil) // P3: no evidence
+    assert(cc.properties(1).cleanedValues(Seq(" OSLO ")) === Seq("0sl0"))
+    // a matching zip on both sides is evidence; a no-match zip is skipped
+    val hi = cc.score(Map("zip" -> Seq("0371")), Map("zip" -> Seq("0371")))
+    assert(hi > 0.5)
+    assert(cc.score(Map("zip" -> Nil), Map("zip" -> Seq("0371"))) === 0.5)
+  }
+
+  test("idProperty / ignoreProperty are never evidence; lookup drives blocking") {
+    val json =
+      """{ "threshold": 0.8, "maybeThreshold": 0.6, "properties": [
+        |  {"name": "id", "idProperty": true},
+        |  {"name": "note", "ignoreProperty": true, "comparator": "exact",
+        |   "low": 0.01, "high": 0.99},
+        |  {"name": "name", "cleaners": ["lowercase-normalize"],
+        |   "comparator": "jaro-winkler", "low": 0.1, "high": 0.95, "lookup": "required"},
+        |  {"name": "phone", "cleaners": ["digits-only"],
+        |   "comparator": "exact", "low": 0.05, "high": 0.98, "lookup": "false"}
+        |] }""".stripMargin
+    val cfg = MatchConfig.fromJson(json)
+    assert(cfg.properties(0).idProperty && !cfg.properties(0).isEvidence)
+    assert(cfg.properties(1).ignoreProperty && !cfg.properties(1).isEvidence)
+    val cc = Duke.compile(cfg)
+    // identical id + identical ignored note contribute NOTHING; different
+    // names dominate — with flags honored the score has no id/note terms
+    val a = Map("id" -> Seq("r1"), "note" -> Seq("same"), "name" -> Seq("alice"))
+    val b = Map("id" -> Seq("r1"), "note" -> Seq("same"), "name" -> Seq("bob"))
+    val withFlags = cc.score(a, b)
+    val nameOnly = cc.score(Map("name" -> Seq("alice")), Map("name" -> Seq("bob")))
+    assert(withFlags === nameOnly)
+    // lookup=required blocks on name values; lookup=false/id excluded
+    val keyers = graft.pipeline.Blocking.fromConfig(cfg)
+    val rec = graft.pipeline.ErPipeline.CleanRecord("d1",
+      Map("id" -> Seq("r1"), "name" -> Seq("alice"), "phone" -> Seq("5551234")))
+    assert(graft.pipeline.Blocking.keys(keyers)(rec) === Seq("name:alice"))
+  }
 }

@@ -55,4 +55,40 @@ class CleanersSpec extends AnyFunSuite {
     assert(Cleaners.chain(Seq("trim", "lowercase-normalize"), " A  B ") == "a b")
     assert(Cleaners.clean("no.priv.garshol.duke.cleaners.TrimCleaner", " x ") == "x")
   }
+
+  test("resolve: parameterized compact specs (C8/C9 config surface)") {
+    assert(Cleaners.resolve("regexp((\\d{4}))")("zip 0371 oslo") == "0371")
+    assert(Cleaners.resolve("regexp((\\d{4}))")("no digits") == null)
+    assert(Cleaners.resolve("regexp(([a-z]+)-([0-9]+),2)")("ab-17") == "17")
+    // a pattern ending in ,digits must carry the explicit group
+    assert(Cleaners.resolve("regexp((x,1),1)")("ax,1b") == "x,1")
+    assert(Cleaners.resolve("mapping(st=street|rd=road)")("st") == "street")
+    assert(Cleaners.resolve("mapping(st=street|rd=road)")("ave") == "ave")
+    assert(Cleaners.resolve(
+      "no.priv.garshol.duke.cleaners.RegexpCleaner((\\d+),1)")("a12") == "12")
+    intercept[IllegalArgumentException](Cleaners.resolve("nonsense-cleaner"))
+  }
+
+  test("resolve: mapping-file reads from,to lines once") {
+    val f = java.nio.file.Files.createTempFile("graft-map", ".csv")
+    java.nio.file.Files.writeString(f, "gt,gate\nvn,veien\nst=street\n")
+    try {
+      val fn = Cleaners.resolve(s"mapping-file($f)")
+      assert(fn("gt") == "gate" && fn("vn") == "veien" && fn("st") == "street")
+      assert(fn("other") == "other")
+      val duke = Cleaners.resolve(s"no.priv.garshol.duke.cleaners.MappingFileCleaner($f)")
+      assert(duke("gt") == "gate")
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("norwegianAddress expands street abbreviations deterministically") {
+    assert(Cleaners.norwegianAddress("Storgt. 12") == "storgate 12")
+    assert(Cleaners.norwegianAddress("Storgata 12") == "storgate 12")
+    assert(Cleaners.norwegianAddress("Kirkevn 3B") == "kirkeveien 3b")
+    assert(Cleaners.norwegianAddress("Hovedvei 8") == "hovedveien 8")
+    assert(Cleaners.norwegianAddress("Postboks 100") == "postboks 100")
+    assert(Cleaners.norwegianAddress("PB 100") == "postboks 100")
+    assert(Cleaners.clean("no.priv.garshol.duke.cleaners.NorwegianAddressCleaner",
+      "Storgt. 12") == "storgate 12")
+  }
 }

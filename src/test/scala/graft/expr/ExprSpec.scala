@@ -77,6 +77,24 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("parameterized cleaner specs under codegen: regexp no-match -> NULL, escaping") {
+    // patterns carry backslashes and quotes — the generated Java literal must
+    // survive janino, and a no-match result must surface as SQL NULL
+    val df = spark.createDataFrame(Seq(
+      Tuple1("N-0371 Oslo"), Tuple1("no digits"), Tuple1("say \"hi\" 42"))).toDF("a")
+    val rows = df.select(col("a"),
+      clean("regexp((\\d+),1)", col("a")).as("digits"),
+      clean("mapping(no digits=found)", col("a")).as("mapped")).collect()
+    val got = rows.map(r => r.getString(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(got("N-0371 Oslo") === ((Some("0371"), "N-0371 Oslo")))
+    assert(got("no digits") === ((None, "found")))
+    assert(got("say \"hi\" 42") === ((Some("42"), "say \"hi\" 42")))
+    // Duke class-name parameterized alias through the Column API
+    val viaDuke = df.select(
+      clean("no.priv.garshol.duke.cleaners.RegexpCleaner((\\d+),1)", col("a"))).collect()
+    assert(Option(viaDuke(1).getString(0)).isEmpty && viaDuke(0).getString(0) === "0371")
+  }
+
   test("phonetic codes: custom soundex agrees with Spark builtin on plain ASCII names") {
     val names = Seq("Robert", "Rupert", "Tymczak", "Pfister", "Honeyman", "Smith").map(Tuple1(_))
     val rows = spark.createDataFrame(names).toDF("n")
