@@ -639,15 +639,17 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("jacc_micro"))
     }),
 
-    /** SimHash (16-bit) over distinct token fingerprints. */
+    /** SimHash (64-bit: hi/lo 32-bit halves) over distinct token fingerprints,
+      * one independent ±1 parity hash per bit (TrainingOps.simhashBitSpark).
+      */
     "q_simhash" -> ((s, dir) => {
-      val bits = (0 until 16).map { b =>
-        s"(CASE WHEN aggregate(tokfps, CAST(0 AS BIGINT)," +
-          s" (acc, f) -> acc + 2 * (CAST(shiftright(f, $b) AS BIGINT) & 1) - 1) > 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
+      val lo = (0 until 32).map(simhashBitSpark).mkString(" + ")
+      val hi = (32 until 64).map(simhashBitSpark).mkString(" + ")
       t(s, dir, "documents")
         .selectExpr("doc_id", s"array_distinct(transform($toksSpark, t -> ${fpSqlSpark("t")})) AS tokfps")
-        .selectExpr("doc_id", s"CAST($bits AS BIGINT) AS simhash")
+        .selectExpr("doc_id",
+          s"CAST($lo AS BIGINT) AS simhash_lo",
+          s"CAST($hi AS BIGINT) AS simhash_hi")
     }),
 
     /** n-gram Jaccard near-dup scoring between consecutive docs (char trigrams). */
@@ -681,25 +683,35 @@ object SparkEntry {
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
     }),
 
-    /** Sign-LSH bucketed ANN (the scale path): 4 deterministic hyperplanes ->
-      * 16 buckets; search only within the query's bucket.
+    /** Sign-LSH banded multi-probe ANN (the scale path): `annBands` bands of
+      * `annPlanesPerBand` hyperplanes each; a pair is a candidate when ANY
+      * band's bucket agrees (recall from bands, task-size bound from buckets);
+      * exact cosine re-ranks within candidates. Candidate ids dedup BEFORE the
+      * vectors re-attach — same discipline as the MinHash-LSH path.
       */
     "q_embed_ann_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val bandExprs = (0 until annBands).map(bn =>
+        s"CAST(${lshBandSpark("embedding", bn, annPlanesPerBand)} AS BIGINT) AS band$bn")
       val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding",
-          s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket",
-          s"${normSpark("embedding")} AS nrm")
-      val q = e.where(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"), col("nrm").as("cn"))
+        .selectExpr(Seq("vec_id", "embedding", s"${normSpark("embedding")} AS nrm") ++ bandExprs: _*)
+      val bandArr = s"array(${(0 until annBands).map(bn => s"band$bn").mkString(",")})"
+      val buckets = e.selectExpr("vec_id", s"posexplode($bandArr) AS (band_ix, bucket)")
+      val cand = buckets.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("band_ix"), col("bucket"))
+        .join(buckets.select(col("vec_id").as("cid"), col("band_ix"), col("bucket")),
+          Seq("band_ix", "bucket"))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val vecs = e.select(col("vec_id"), col("embedding"), col("nrm"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
-      q.join(c, "bucket").where(col("qid") =!= col("cid"))
+      cand
+        .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn")), "qid")
+        .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn")), "cid")
         .withColumn("cos_micro",
           expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv", "qn", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
-        .select(col("qid"), col("bucket"), col("cid"), col("rk").cast("long"), col("cos_micro"))
+        .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
     }),
 
     /** Embedding-cosine near-dup pairs (dedup op): sign-LSH buckets bound the
@@ -797,10 +809,9 @@ object SparkEntry {
          |WHERE CAST(FLOOR(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
          |  / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) >= 800000""".stripMargin,
     "q_simhash" -> {
-      val bits = (0 until 16).map { b =>
-        s"(CASE WHEN list_sum(list_transform(tokfps, f -> 2 * ((f >> $b) & 1) - 1)) > 0 THEN ${1 << b} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      val lo = (0 until 32).map(simhashBitDuck).mkString(" + ")
+      val hi = (32 until 64).map(simhashBitDuck).mkString(" + ")
+      s"""SELECT doc_id, CAST($lo AS BIGINT) AS simhash_lo, CAST($hi AS BIGINT) AS simhash_hi
          |FROM (SELECT doc_id, list_distinct(list_transform($toksDuck, t -> ${fpSqlDuck("t")})) AS tokfps
          |      FROM documents)""".stripMargin
     },
@@ -823,18 +834,28 @@ object SparkEntry {
          |                    c.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
          |WHERE rk <= 5""".stripMargin,
-    "q_embed_ann_lsh" ->
-      s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket
-         |  FROM embeddings)
-         |SELECT qid, bucket, cid, rk, cos_micro FROM (
-         |  SELECT q.vec_id AS qid, q.bucket AS bucket, c.vec_id AS cid,
+    "q_embed_ann_lsh" -> {
+      val bandCols = (0 until annBands).map(bn =>
+        s"CAST(${lshBandDuck("embedding", bn, annPlanesPerBand)} AS BIGINT) AS band$bn").mkString(", ")
+      val bandRows = (0 until annBands).map(bn =>
+        s"SELECT vec_id, $bn AS band_ix, band$bn AS bucket FROM banded").mkString(" UNION ALL ")
+      s"""WITH banded AS (SELECT vec_id, embedding, $bandCols FROM embeddings),
+         |buckets AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM buckets q JOIN buckets c
+         |    ON q.band_ix = c.band_ix AND q.bucket = c.bucket
+         |   AND q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |SELECT qid, cid, rk, cos_micro FROM (
+         |  SELECT qid, cid,
          |         CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro,
-         |         row_number() OVER (PARTITION BY q.vec_id
+         |         row_number() OVER (PARTITION BY qid
          |           ORDER BY CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) DESC,
-         |                    c.vec_id) AS rk
-         |  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id < 8 AND q.vec_id <> c.vec_id)
-         |WHERE rk <= 3""".stripMargin,
+         |                    cid) AS rk
+         |  FROM cand JOIN embeddings q ON q.vec_id = qid
+         |            JOIN embeddings c ON c.vec_id = cid)
+         |WHERE rk <= 3""".stripMargin
+    },
     "q_embed_near_dup" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket

@@ -106,7 +106,30 @@ object TrainingOps {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
-  /** Deterministic integer hyperplanes for sign-LSH: h_j[i] = ((i*31 + j*17) % 7) - 3. */
+  // -------- SimHash (64-bit) --------
+  /** Per-bit ±1 token hash for SimHash bit `b`: parity of an independent
+    * linear map of the token fingerprint mod P. 64 independent bit-hashes
+    * instead of raw fp bits (the fp carries only ~30 bits of entropy).
+    * Bits 0-31 -> `simhash_lo`, 32-63 -> `simhash_hi` (two non-negative
+    * BIGINTs; avoids engine-specific 1<<63 sign/overflow semantics).
+    * At the 10¹²-doc design point 64 bits give ~2⁶⁴ distinct codes — near-dup
+    * banding over 4×16-bit sub-keys stays selective, where the old 16-bit
+    * variant capped at 65 536 buckets.
+    */
+  val simhashBits = 64
+  def simhashBitSpark(b: Int): String =
+    s"(CASE WHEN aggregate(tokfps, CAST(0 AS BIGINT)," +
+      s" (acc, f) -> acc + 2 * (((${2 * b + 1} * f + ${7919 * b + 13}) % 1000000007) % 2) - 1) > 0" +
+      s" THEN ${1L << (b % 32)} ELSE 0 END)"
+  def simhashBitDuck(b: Int): String =
+    s"(CASE WHEN list_sum(list_transform(tokfps," +
+      s" f -> 2 * (((${2 * b + 1} * f + ${7919 * b + 13}) % 1000000007) % 2) - 1)) > 0" +
+      s" THEN ${1L << (b % 32)} ELSE 0 END)"
+
+  /** Deterministic integer hyperplanes for sign-LSH: h_j[i] = ((i*31 + j*17) % 7) - 3.
+    * `planes` is configurable (buckets = 2^planes); for banded multi-probe use
+    * `lshBandSpark` with distinct plane indices per band.
+    */
   def lshBucketSpark(v: String, planes: Int): String =
     (0 until planes).map { j =>
       val dot = s"aggregate(zip_with($v, transform(sequence(1, size($v)), i -> CAST(((i * 31 + ${j * 17}) % 7) - 3 AS DOUBLE))," +
@@ -119,6 +142,30 @@ object TrainingOps {
         s" i -> CAST(($v)[i] AS DOUBLE) * (((i * 31 + ${j * 17}) % 7) - 3)))"
       s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Banded multi-probe sign-LSH: band `b` uses its own `planesPerBand`
+    * hyperplanes (global plane index b·planesPerBand + j), so a vector lands in
+    * one bucket PER band and two vectors are candidates when ANY band agrees —
+    * recall grows with bands, candidate set stays bucket-bounded (the MinHash
+    * banding trick applied to sign-LSH).
+    */
+  def lshBandSpark(v: String, band: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { jj =>
+      val j = band * planesPerBand + jj
+      val dot = s"aggregate(zip_with($v, transform(sequence(1, size($v)), i -> CAST(((i * 31 + ${j * 17}) % 7) - 3 AS DOUBLE))," +
+        s" (p, h) -> CAST(p AS DOUBLE) * h), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dot > 0 THEN ${1 << jj} ELSE 0 END)"
+    }.mkString(" + ")
+  def lshBandDuck(v: String, band: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { jj =>
+      val j = band * planesPerBand + jj
+      val dot = s"list_sum(list_transform(generate_series(1, len($v))," +
+        s" i -> CAST(($v)[i] AS DOUBLE) * (((i * 31 + ${j * 17}) % 7) - 3)))"
+      s"(CASE WHEN $dot > 0 THEN ${1 << jj} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val annBands = 2
+  val annPlanesPerBand = 4
 
   // -------- text analysis --------
   val langWords = Seq(

@@ -2,8 +2,11 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
 
-import graft.expr.functions.{duke_factor_multi, bayes_combine}
+import graft.core.Cleaners
+import graft.expr.DukeScoreExpr
+import graft.expr.functions.clean_chain
 import graft.model.MatchConfig
 
 /** The reference plugin's query surface, Spark-native (SURVEY.md §3.1):
@@ -20,41 +23,64 @@ import graft.model.MatchConfig
   */
 object EntityResolution {
 
-  /** Add a `score` column: probability(candidate ≙ query record). */
+  /** Add a `score` column: probability(candidate ≙ query record).
+    *
+    * Scoring routes through the fused `DukeScoreExpr` kernel — the fold runs
+    * in Scala over evaluated child arrays, so the expression tree stays LINEAR
+    * in property count. (A Column-level Bayes fold embeds the accumulator ~5×
+    * per property: 5^P growth, Catalyst analysis blows up past ~8-10
+    * properties.) Query-side values are cleaned once on the driver with the
+    * same kernel chain; candidate-side values clean declaratively per row.
+    */
   def scored(
       candidates: DataFrame,
       query: Map[String, Seq[String]],
       config: MatchConfig): DataFrame = {
     val present = candidates.columns.toSet
-    val scoreCol = config.properties.foldLeft(lit(0.5)) { (acc, spec) =>
-      val qv = query.getOrElse(spec.name, Nil).filter(v => v != null && v.nonEmpty)
-      if (qv.isEmpty || !present.contains(spec.name)) acc // no evidence either side
-      else {
-        val qCol: Column = array(qv.map(lit): _*)
-        val cRaw = candidates.schema(spec.name).dataType.typeName match {
-          case "array" => col(spec.name)
-          case _       => array(col(spec.name))
+    val missing = lit(null).cast("array<string>")
+    val kids: Seq[Column] = config.properties.flatMap { spec =>
+      val qv = query.getOrElse(spec.name, Nil)
+        .filter(v => v != null && v.nonEmpty)
+        .map(v => Cleaners.chain(spec.cleaners, v))
+        .filter(v => v != null && v.nonEmpty)
+      val qCol = if (qv.isEmpty) missing else array(qv.map(lit): _*)
+      val cCol =
+        if (!present.contains(spec.name)) missing
+        else {
+          val raw = candidates.schema(spec.name).dataType.typeName match {
+            case "array" => col(spec.name)
+            case _       => array(col(spec.name))
+          }
+          filter(transform(raw, v => clean_chain(spec.cleaners, v)),
+            v => v.isNotNull && v =!= "")
         }
-        val f = duke_factor_multi(spec, qCol, cRaw)
-        when(f.isNull, acc).otherwise(bayes_combine(acc, f))
-      }
+      Seq(qCol, cCol)
     }
+    val scoreCol = graftshim.column(DukeScoreExpr(kids.map(graftshim.expression), config))
     candidates.withColumn("score", scoreCol)
   }
 
   /** Scored search: predicate (the "ES query") -> score -> global top-k —
     * the shard-heap + coordinator-merge of the reference collapses into
     * Spark's TakeOrderedAndProject.
+    *
+    * Deterministic: score ties break on `tieBreak` when given, else on every
+    * candidate column in schema order (callers with non-orderable columns —
+    * maps — must pass an explicit tieBreak).
     */
   def topK(
       candidates: DataFrame,
       query: Map[String, Seq[String]],
       config: MatchConfig,
       k: Int,
-      predicate: Column = lit(true)): DataFrame =
-    scored(candidates.where(predicate), query, config)
-      .orderBy(col("score").desc)
-      .limit(k)
+      predicate: Column = lit(true),
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val s = scored(candidates.where(predicate), query, config)
+    val ties =
+      if (tieBreak.nonEmpty) tieBreak
+      else candidates.columns.toSeq.map(c => col(c).asc)
+    s.orderBy(col("score").desc +: ties: _*).limit(k)
+  }
 
   /** Threshold classification of a scored frame (match / maybe / no-match). */
   def classify(scoredDf: DataFrame, config: MatchConfig): DataFrame =

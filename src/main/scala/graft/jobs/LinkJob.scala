@@ -92,15 +92,17 @@ object LinkJob {
         .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
     }
 
-    // ⑦ lineage: per-partition row counts of every persisted stage
-    //    (partition provenance — which task wrote how many rows of each output)
+    // ⑦ lineage: per written FILE row counts of every persisted stage. Each
+    //    writer task emits exactly one part file, so file-level counts ARE
+    //    writer-side provenance — reader-side spark_partition_id() would
+    //    reflect the re-read split, not the task that wrote the data.
     val lineage = m.stage(spark, "lineage") {
       Seq("records", "blocks", "pairs", "scored", "classified", "edges", "clusters")
         .map { s =>
           spark.read.parquet(s"$outDir/$s")
-            .groupBy(spark_partition_id().as("partition_id"))
+            .groupBy(input_file_name().as("file"))
             .agg(count("*").as("rows"))
-            .select(lit(s).as("stage"), $"partition_id", $"rows")
+            .select(lit(s).as("stage"), $"file", $"rows")
         }.reduce(_ union _)
     }
 

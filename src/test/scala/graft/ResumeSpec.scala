@@ -43,6 +43,13 @@ class ResumeSpec extends SparkSpec {
     val recRows = lineage.where(col("stage") === "records")
       .agg(sum("rows")).collect()(0).getLong(0)
     assert(recRows === s.records)
+    // lineage is writer-side provenance: one row per part FILE actually
+    // written for the stage (each writer task emits one file)
+    val recFiles = new java.io.File(s"$out/records").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val recLineageRows = lineage.where(col("stage") === "records").count()
+    assert(recLineageRows === recFiles,
+      s"lineage rows ($recLineageRows) != written part files ($recFiles)")
     // metrics persisted
     val metrics = spark.read.parquet(s"$out/metrics").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
