@@ -39,4 +39,38 @@ class SourcesSpec extends SparkSpec {
     assert(got(1L) === Cleaners.chain(Seq("trim", "lowercase-normalize"), "  Élodie DuPont "))
     assert(got(2L) === "acme as")
   }
+
+  test("ntriples source: parse, pivot by subject, multi-values, cleaners") {
+    val dir = Files.createTempDirectory("graft-src3").toString
+    val nt =
+      """# people
+        |<http://ex.org/p1> <http://xmlns.com/foaf/0.1/name> " Lars  Holm "@no .
+        |<http://ex.org/p1> <http://ex.org/phone> "0047 22 11 33" .
+        |<http://ex.org/p1> <http://ex.org/phone> "555-1234"^^<http://www.w3.org/2001/XMLSchema#string> .
+        |<http://ex.org/p2> <http://xmlns.com/foaf/0.1/name> "Kari \"KK\" Berg" .
+        |<http://ex.org/p2> <http://ex.org/homepage> <http://ex.org/kari> .
+        |<http://ex.org/p2> <http://ex.org/ignored> "dropped" .
+        |
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "in.nt"), nt)
+    val df = Sources.ntriples(spark, s"$dir/in.nt",
+      predicates = Map(
+        "http://xmlns.com/foaf/0.1/name" -> "name",
+        "http://ex.org/phone" -> "phone",
+        "http://ex.org/homepage" -> "homepage"),
+      cleaners = Map(
+        "name" -> Seq("trim", "lowercase-normalize"),
+        "phone" -> Seq("phone-number")))
+    val rows = df.collect().map { r =>
+      r.getAs[String]("doc_id") ->
+        ((r.getSeq[String](r.fieldIndex("name")).toSet,
+          r.getSeq[String](r.fieldIndex("phone")).toSet,
+          r.getSeq[String](r.fieldIndex("homepage")).toSet))
+    }.toMap
+    assert(rows.keySet === Set("http://ex.org/p1", "http://ex.org/p2"))
+    assert(rows("http://ex.org/p1") ===
+      ((Set("lars holm"), Set("47221133", "5551234"), Set.empty[String])))
+    assert(rows("http://ex.org/p2") ===
+      ((Set("kari kk berg"), Set.empty[String], Set("http://ex.org/kari"))))
+  }
 }
