@@ -65,6 +65,26 @@ object IncrementalLink {
       }
   }
 
+  /** Watermarked per-window classification counts over a scored stream —
+    * the streaming metrics face of P4 (SURVEY.md §2.9: watermark + windowed
+    * aggregation). Input needs an event-time column and a `bucket` column
+    * (`ErPipeline.classify` output); state is bounded by the watermark: a
+    * window finalizes (appends) once event time passes window end + delay,
+    * and later-than-watermark rows are dropped, so the state store never
+    * grows with stream length.
+    */
+  def bucketCountsByWindow(
+      classified: DataFrame,
+      eventTimeCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    classified
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration), col("bucket"))
+      .agg(count("*").as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bucket"), col("n"))
+
   /** Incremental linkage: every micro-batch links its docs against the corpus
     * accumulated so far (parquet-backed, the Duke Database analog) and appends
     * edges. Returns the started query; caller owns lifecycle.

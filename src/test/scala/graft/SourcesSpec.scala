@@ -73,4 +73,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows("http://ex.org/p2") ===
       ((Set("kari kk berg"), Set.empty[String], Set("http://ex.org/kari"))))
   }
+
+  test("jdbc source reads through Spark's JDBC reader with cleaners (embedded Derby)") {
+    val url = "jdbc:derby:memory:graftsrc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (id INT, name VARCHAR(64), phone VARCHAR(32))")
+      st.execute("INSERT INTO people VALUES (1, ' John  SMITH ', '(555) 123'), (2, 'Doe, Jane', '0047 22')")
+      st.close()
+      val df = Sources.jdbc(spark, url, "people",
+        cleaners = Map("NAME" -> Seq("trim", "lowercase-normalize"), "PHONE" -> Seq("phone-number")),
+        partitionColumn = Some(("id", 0L, 2L, 2)))
+      assert(df.rdd.getNumPartitions === 2) // partitioned range read, not one task
+      val got = df.collect().map(r => r.getAs[Int]("ID") ->
+        ((r.getAs[String]("NAME"), r.getAs[String]("PHONE")))).toMap
+      assert(got === Map(1 -> (("john smith", "555123")), 2 -> (("doe jane", "4722"))))
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftsrc;drop=true")
+      catch { case _: java.sql.SQLException => } // drop always "fails" with 08006
+    }
+  }
 }

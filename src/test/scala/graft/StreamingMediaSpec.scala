@@ -41,6 +41,37 @@ class StreamingMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketCountsByWindow: watermarked windowed agg finalizes windows, drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val classified = mem.toDS().toDF("event_time", "bucket")
+    val out = IncrementalLink.bucketCountsByWindow(
+      classified, "event_time", "1 minute", "30 seconds")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:01): 2 matches, 1 maybe
+      mem.addData(ts(0, 10) -> "match", ts(0, 40) -> "match", ts(0, 50) -> "maybe")
+      q.processAllAvailable()
+      // advance the watermark past 10:01 + 30s -> first window finalizes
+      mem.addData(ts(2, 0) -> "match")
+      q.processAllAvailable()
+      // a LATE row for the finalized window: must be dropped, not re-counted
+      mem.addData(ts(0, 20) -> "match")
+      q.processAllAvailable()
+      mem.addData(ts(5, 0) -> "no-match") // push watermark so window 2 closes too
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString.substring(11, 16),
+          r.getAs[String]("bucket")) -> r.getAs[Long]("n")).toMap
+      assert(rows(("10:00", "match")) === 2L) // late row excluded
+      assert(rows(("10:00", "maybe")) === 1L)
+      assert(rows(("10:02", "match")) === 1L)
+    } finally q.stop()
+  }
+
   test("linkStream: edges accumulate across micro-batches (new-vs-corpus scoring)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
