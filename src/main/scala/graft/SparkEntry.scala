@@ -16,9 +16,11 @@ import graft.pipeline.{Cluster, ErPipeline, Fixtures}
   *    BIGINT on BOTH sides (identical double expression trees -> identical
   *    bits -> identical integers; no engine rounding-mode dependence);
   *  - money sums round per row to integer cents, then sum exactly;
-  *  - Jaro-Winkler: DuckDB applies the 0.7 boost threshold, our Duke-parity
-  *    comparator does not — JW oracles filter to jaro > 0.7 where both agree
-  *    bit-for-bit (verified on golden pairs);
+  *  - Jaro-Winkler: DuckDB's jaro_winkler_similarity applies the 0.7 boost
+  *    threshold, our Duke-parity comparator does not — JW oracles reconstruct
+  *    the UNBOOSTED bonus over DuckDB's jaro_similarity (bit-identical to the
+  *    kernel jaro over the full pair set; DuckSql.jaroWinklerUnboosted), so
+  *    every pair is oracle-checked with no agreement-zone filter;
   *  - q-gram / token comparators use SET semantics (mirrors Duke's HashSet
   *    grams) so DuckDB list_distinct/list_intersect reproduce them.
   */
@@ -79,12 +81,13 @@ object SparkEntry {
         levenshtein(col("c_name"), col("s_name")).cast("long").as("dist"),
         micro(sim_levenshtein(col("c_name"), col("s_name"))).as("sim_micro"))
     }),
+    // no 0.7 agreement-zone filter: the oracle reconstructs graft's UNBOOSTED
+    // Winkler bonus over DuckDB's jaro_similarity (bit-identical everywhere —
+    // see DuckSql.jaroWinklerUnboosted), so every pair is checked
     "q_pair_jaro_winkler" -> ((s, dir) => {
-      pairSet(s, dir)
-        .where(sim_jaro(col("c_name"), col("s_name")) > 0.7)
-        .select(
-          col("c_custkey"), col("s_suppkey"),
-          micro(sim_jaro_winkler(col("c_name"), col("s_name"))).as("jw_micro"))
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_jaro_winkler(col("c_name"), col("s_name"))).as("jw_micro"))
     }),
     "q_pair_qgram_dice" -> ((s, dir) => {
       pairSet(s, dir).select(
@@ -154,7 +157,6 @@ object SparkEntry {
       val jw = micro(sim_jaro_winkler(col("c_name"), col("s_name")))
       val w = Window.partitionBy(col("c_custkey")).orderBy(col("jw_micro").desc, col("s_suppkey"))
       pairSet(s, dir)
-        .where(sim_jaro(col("c_name"), col("s_name")) > 0.7)
         .select(col("c_custkey"), col("s_suppkey"), jw.as("jw_micro"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
@@ -242,7 +244,6 @@ object SparkEntry {
     "q_best_match_agg" -> ((s, dir) => {
       val jw = micro(sim_jaro_winkler(col("c_name"), col("s_name")))
       val scored = pairSet(s, dir)
-        .where(sim_jaro(col("c_name"), col("s_name")) > 0.7)
         .select(col("c_custkey"), col("s_suppkey"), jw.as("jw_micro"))
       val best = scored.groupBy(col("c_custkey")).agg(max(col("jw_micro")).as("best_micro"))
       scored.alias("s").join(best.alias("b"),
@@ -383,9 +384,8 @@ object SparkEntry {
     },
     "q_pair_jaro_winkler" ->
       s"""SELECT c_custkey, s_suppkey,
-         |       ${microSql("jaro_winkler_similarity(c_name, s_name)")} AS jw_micro
-         |$pairSetSql
-         |WHERE jaro_similarity(c_name, s_name) > 0.7""".stripMargin,
+         |       ${microSql(DuckSql.jaroWinklerUnboosted("c_name", "s_name"))} AS jw_micro
+         |$pairSetSql""".stripMargin,
     "q_pair_qgram_dice" -> {
       def grams(c: String) =
         s"list_distinct(list_transform(generate_series(1, length($c)-1), i -> substr($c, i, 2)))"
@@ -456,16 +456,17 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 3""".stripMargin,
-    "q_best_match" ->
+    "q_best_match" -> {
+      val jw = microSql(DuckSql.jaroWinklerUnboosted("c_name", "s_name"))
       s"""SELECT c_custkey, s_suppkey, jw_micro FROM (
          |  SELECT c_custkey, s_suppkey,
-         |         ${microSql("jaro_winkler_similarity(c_name, s_name)")} AS jw_micro,
+         |         $jw AS jw_micro,
          |         row_number() OVER (PARTITION BY c_custkey
-         |             ORDER BY ${microSql("jaro_winkler_similarity(c_name, s_name)")} DESC,
+         |             ORDER BY $jw DESC,
          |                      s_suppkey) AS rk
-         |  $pairSetSql
-         |  WHERE jaro_similarity(c_name, s_name) > 0.7)
-         |WHERE rk = 1""".stripMargin,
+         |  $pairSetSql)
+         |WHERE rk = 1""".stripMargin
+    },
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       CAST(sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
@@ -553,9 +554,8 @@ object SparkEntry {
     "q_best_match_agg" ->
       s"""WITH scored AS (
          |  SELECT c_custkey, s_suppkey,
-         |         ${microSql("jaro_winkler_similarity(c_name, s_name)")} AS jw_micro
-         |  $pairSetSql
-         |  WHERE jaro_similarity(c_name, s_name) > 0.7),
+         |         ${microSql(DuckSql.jaroWinklerUnboosted("c_name", "s_name"))} AS jw_micro
+         |  $pairSetSql),
          |best AS (SELECT c_custkey, max(jw_micro) AS best_micro FROM scored GROUP BY 1)
          |SELECT s.c_custkey, b.best_micro, min(s.s_suppkey) AS best_suppkey
          |FROM scored s JOIN best b ON s.c_custkey = b.c_custkey AND s.jw_micro = b.best_micro

@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.EntityResolution
-import graft.model.MatchConfig
+import graft.model.{MatchConfig, PropertySpec}
 
 /** Reference-parity scenario (SURVEY.md §5.2 #6, FIXTURES.md §4): the upstream
   * plugin's integration-test shape — a small indexed corpus, one query record,
@@ -73,6 +73,30 @@ class EntityResolutionApiSpec extends SparkSpec {
     }
     assert(math.abs(got("m1") - m1) < eps)
     assert(math.abs(got("m2") - 0.1) < eps)
+  }
+
+  test("scored() stays analyzable at high property counts (fused kernel, no 5^P tree)") {
+    import spark.implicits._
+    // 16 properties: a Column-level Bayes fold embeds the accumulator ~5x per
+    // property (5^16 node tree — analysis would hang); the fused kernel path
+    // must analyze and run quickly
+    val props = (1 to 16).map(i =>
+      PropertySpec(s"p$i", Seq("lowercase-normalize"), "exact", 0.2, 0.9))
+    val cfg = MatchConfig(0.9, 0.65, props)
+    val row = (1 to 16).map(i => s"V$i")
+    val corpus = Seq(("d1", row)).map { case (id, vs) =>
+      (id +: vs).mkString("|") }.toDF("raw")
+      .selectExpr(Seq("split(raw, '\\\\|')[0] AS doc_id") ++
+        (1 to 16).map(i => s"split(raw, '\\\\|')[$i] AS p$i"): _*)
+    val query = (1 to 16).map(i => s"p$i" -> Seq(s"v$i")).toMap
+    val t0 = System.nanoTime()
+    val got = EntityResolution.scored(corpus, query, cfg).select("score").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // all 16 properties agree -> bayes fold of 0.9 sixteen times from 0.5
+    val expected = (1 to 16).foldLeft(0.5)((acc, _) =>
+      acc * 0.9 / (acc * 0.9 + (1 - acc) * (1 - 0.9)))
+    assert(math.abs(got(0).getDouble(0) - expected) < eps)
+    assert(secs < 60.0, s"16-property scoring took ${secs}s — expression blowup?")
   }
 
   test("predicate narrows candidates before scoring (retrieve-then-score)") {

@@ -29,6 +29,18 @@ class FixtureSpec extends SparkSpec {
     }
   }
 
+  test("empty-spans docs pass the invariant and extract to empty-prop records") {
+    import graft.model.{Doc, Span}
+    val docs = spark.createDataset(Seq(
+      Doc("e0", Nil), // zero spans: slice length must clamp, not throw
+      Doc("e1", Seq(Span("name", "ann", null, 1)))))
+    assert(ErPipeline.invariantViolations(docs.toDF()) == 0)
+    val recs = ErPipeline.extract(docs, MatchConfig.fixture).collect()
+      .map(r => r.doc_id -> r.props).toMap
+    assert(recs("e0").values.forall(_.isEmpty))
+    assert(recs("e1")("name") == Seq("ann"))
+  }
+
   test("generation is deterministic and partitioning-independent") {
     val a = Fixtures.docs(spark, 200).collect().sortBy(_.doc_id)
     val b = Fixtures.docs(spark, 200).repartition(7).collect().sortBy(_.doc_id)
