@@ -123,15 +123,9 @@ private[model] object JsonLite {
     case s: String => s
     case m0 =>
       val m = m0.asInstanceOf[Map[String, Any]]
-      val name = graft.core.Cleaners.normalizeSpec(m("name").asInstanceOf[String])
-        .stripSuffix("Cleaner") match {
-          case "Regexp" | "regexp"            => "regexp"
-          case "MappingFile" | "mapping-file" => "mapping-file"
-          case "mapping"                      => "mapping"
-          case other                          => other
-        }
-      name match {
-        case "regexp" =>
+      val rawName = m("name").asInstanceOf[String]
+      rawName.stripPrefix("no.priv.garshol.duke.cleaners.") match {
+        case "RegexpCleaner" | "regexp" =>
           val grp = m.get("group").map(_.asInstanceOf[Double].toInt).getOrElse(1)
           s"regexp(${m("pattern").asInstanceOf[String]},$grp)"
         case "mapping" =>
@@ -139,9 +133,11 @@ private[model] object JsonLite {
           val body = dict.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=${v.asInstanceOf[String]}" }.mkString("|")
           s"mapping($body)"
-        case "mapping-file" =>
+        case "MappingFileCleaner" | "mapping-file" =>
           s"mapping-file(${m("file").asInstanceOf[String]})"
-        case other => other // parameterless cleaner written in object form
+        // parameterless cleaner written in object form: keep the name verbatim
+        // (short or Duke class name — Cleaners.resolve handles both)
+        case _ => rawName
       }
   }
 

@@ -155,6 +155,15 @@ class DukeSpec extends AnyFunSuite {
     val cfg = MatchConfig.fromJson(json)
     assert(cfg.properties(0).cleaners === Seq("regexp(([0-9]{4}),1)"))
     assert(cfg.properties(1).cleaners === Seq("lowercase-normalize", "mapping(oslo=0sl0)"))
+    // parameterless cleaners in OBJECT form keep their name verbatim
+    val cfg2 = MatchConfig.fromJson(
+      """{"threshold": 0.8, "maybeThreshold": 0.6, "properties": [
+        |  {"name": "p", "comparator": "exact", "low": 0.2, "high": 0.9,
+        |   "cleaners": [{"name": "no.priv.garshol.duke.cleaners.DigitsOnlyCleaner"},
+        |                {"name": "trim"}]}]}""".stripMargin)
+    assert(cfg2.properties(0).cleaners ===
+      Seq("no.priv.garshol.duke.cleaners.DigitsOnlyCleaner", "trim"))
+    assert(Duke.compile(cfg2).properties(0).cleanedValues(Seq("a1b2 ")) === Seq("12"))
     val cc = Duke.compile(cfg)
     assert(cc.properties(0).cleanedValues(Seq("N-0371 Oslo")) === Seq("0371"))
     assert(cc.properties(0).cleanedValues(Seq("no digits here")) === Nil) // P3: no evidence
