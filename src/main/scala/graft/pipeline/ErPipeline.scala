@@ -149,21 +149,28 @@ object ErPipeline {
     val spark = blocks.sparkSession
     import spark.implicits._
 
-    val keyCounts = blocks.groupBy($"key").agg(count("*").as("n"))
-    val dropped = keyCounts.filter($"n" > cfg.maxBlockSize)
-      .agg(count("*").as("blocks"),
-        coalesce(sum(($"n" * ($"n" - 1) / 2).cast("double")), lit(0.0)).as("mass"))
-      .collect()(0)
-    val stats0 = (dropped.getLong(0), dropped.getDouble(1))
-
     // Only the HEAVY TAIL is broadcast (dropped keys: at most |blocks|/max
     // of them; hot keys: at most |blocks|/threshold) — normal keys default to
     // salts=1 via the left join, so driver/executor memory never scales with
     // the number of DISTINCT blocking keys (O(corpus) at the 10^12-doc design
     // point; broadcasting all of them was the scale bug).
-    val dropKeys = keyCounts.filter($"n" > cfg.maxBlockSize)
+    //
+    // The tail is materialized ONCE: stats collect, salted count, and the two
+    // broadcast exchanges below all read the checkpointed tail instead of
+    // each re-running the full groupBy over the blocks table (4 corpus-scale
+    // aggregations -> 1).
+    val skewTail = blocks.groupBy($"key").agg(count("*").as("n"))
+      .filter($"n" > cfg.saltThreshold)
+      .localCheckpoint(true)
+    val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
+      .agg(count("*").as("blocks"),
+        coalesce(sum(($"n" * ($"n" - 1) / 2).cast("double")), lit(0.0)).as("mass"))
+      .collect()(0)
+    val stats0 = (dropped.getLong(0), dropped.getDouble(1))
+
+    val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
       .select($"key", lit(true).as("__drop"))
-    val hotKeys = keyCounts
+    val hotKeys = skewTail
       .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
       .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
     val nSalted = hotKeys.count()
@@ -209,21 +216,25 @@ object ErPipeline {
     val spark = blocksA.sparkSession
     import spark.implicits._
 
-    val keyCounts = blocksA.groupBy($"key").agg(count("*").as("na"))
+    // heavy tail only, as in `pairs` (broadcast never scales with distinct
+    // keys); the tail is materialized ONCE so stats collect, salted count and
+    // both broadcasts don't each re-run the two corpus-scale groupBys
+    val skewTail = blocksA.groupBy($"key").agg(count("*").as("na"))
       .join(blocksB.groupBy($"key").agg(count("*").as("nb")), "key")
       .withColumn("n", greatest($"na", $"nb"))
-    val dropped = keyCounts.filter($"n" > cfg.maxBlockSize)
+      .filter($"n" > cfg.saltThreshold)
+      .localCheckpoint(true)
+    val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
       .agg(count("*").as("blocks"),
         coalesce(sum(($"na" * $"nb").cast("double")), lit(0.0)).as("mass"))
       .collect()(0)
 
-    // heavy tail only, as in `pairs` (broadcast never scales with distinct keys)
-    val dropKeys = keyCounts.filter($"n" > cfg.maxBlockSize)
+    val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
       .select($"key", lit(true).as("__drop"))
     // salt the LARGER side by doc-id hash, replicate the SMALLER side across
     // all salt buckets — replication volume is |smaller|·salts, never
     // |larger|·salts (the wrong-way replication would explode a hot A side)
-    val hotKeys = keyCounts
+    val hotKeys = skewTail
       .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
       .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"),
         ($"na" >= $"nb").as("saltA"))
