@@ -714,6 +714,43 @@ object SparkEntry {
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
     }),
 
+    /** IVF ANN (the other scale path): fixed deterministic coarse quantizer
+      * (centroids = vec_id < 16 — a k-means fit would sum doubles in
+      * partial-agg order, breaking both determinism and the oracle), each
+      * vector assigned to its nearest centroid (inverted lists), queries
+      * multi-probe their 2 nearest lists, exact cosine re-ranks. Assignment is
+      * a broadcast join against K centroids — one narrow pass over the corpus,
+      * candidate volume ~ nProbe/K of brute force.
+      */
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+        .selectExpr("vec_id", "embedding", s"${normSpark("embedding")} AS nrm")
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+      val affinities = e.join(broadcast(cents))
+        .withColumn("cos_micro",
+          expr(s"CAST(FLOOR((${cosStagedSpark("embedding", "cv", "nrm", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
+        .select(col("vec_id"), col("cent_id"), col("cos_micro"))
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cos_micro").desc, col("cent_id"))
+      val ranked = affinities.withColumn("crk", row_number().over(aw))
+      val lists = ranked.where(col("crk") === 1).select(col("vec_id").as("cid"), col("cent_id"))
+      val probes = ranked.where(col("vec_id") < 8 && col("crk") <= 2)
+        .select(col("vec_id").as("qid"), col("cent_id"))
+      val cand = probes.join(lists, "cent_id")
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
+      cand
+        .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv2"), col("nrm").as("cn2")), "cid")
+        .withColumn("cos_micro",
+          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv2", "qn", "cn2")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
+    }),
+
     /** Embedding-cosine near-dup pairs (dedup op): sign-LSH buckets bound the
       * candidate space; verify with exact cosine >= 0.30 within buckets (the synthetic embeddings plant no true dups; 0.30 is the top-1% tail, demonstrating the operator shape).
       */
@@ -856,6 +893,30 @@ object SparkEntry {
          |            JOIN embeddings c ON c.vec_id = cid)
          |WHERE rk <= 3""".stripMargin
     },
+    "q_embed_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |aff AS (
+         |  SELECT v.vec_id, c.vec_id AS cent_id,
+         |         CAST(FLOOR((${cosDuck("v.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro
+         |  FROM e v JOIN e c ON c.vec_id < 16),
+         |ranked AS (
+         |  SELECT vec_id, cent_id, cos_micro,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY cos_micro DESC, cent_id) AS crk
+         |  FROM aff),
+         |lists AS (SELECT vec_id AS cid, cent_id FROM ranked WHERE crk = 1),
+         |probes AS (SELECT vec_id AS qid, cent_id FROM ranked WHERE vec_id < 8 AND crk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT qid, cid FROM probes JOIN lists USING (cent_id)
+         |  WHERE qid <> cid)
+         |SELECT qid, cid, rk, cos_micro FROM (
+         |  SELECT qid, cid,
+         |         CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY CAST(FLOOR((${cosDuck("q.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) DESC,
+         |                    cid) AS rk
+         |  FROM cand JOIN e q ON q.vec_id = qid JOIN e c ON c.vec_id = cid)
+         |WHERE rk <= 3""".stripMargin,
     "q_embed_near_dup" ->
       s"""WITH bucketed AS (
          |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket
