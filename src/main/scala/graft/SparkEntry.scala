@@ -652,6 +652,36 @@ object SparkEntry {
           s"CAST($hi AS BIGINT) AS simhash_hi")
     }),
 
+    /** SimHash near-dup pairs: 64-bit codes over word-3-shingle fingerprints
+      * (unigram tokens saturate — the corpus shares its vocabulary, so every
+      * doc pair landed under any sane hamming radius; shingles carry order +
+      * content, aligning this op with the MinHash-LSH universe), banded into
+      * 4×16-bit sub-keys (pigeonhole: hamming ≤ 3 ⇒ ≥1 band agrees exactly —
+      * bucket-bounded, never all-pairs); verify = exact hamming ≤ 3.
+      */
+    "q_simhash_near_dup" -> ((s, dir) => {
+      val lo = (0 until 32).map(simhashBitSpark).mkString(" + ")
+      val hi = (32 until 64).map(simhashBitSpark).mkString(" + ")
+      val codes = shingleFps(t(s, dir, "documents"))
+        .selectExpr("doc_id", "fps AS tokfps")
+        .selectExpr("doc_id", s"CAST($lo AS BIGINT) AS sl", s"CAST($hi AS BIGINT) AS sh")
+        .localCheckpoint(true) // one simhash pass; bands + verify reuse it
+      val bands = codes.selectExpr("doc_id",
+        "posexplode(array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16))) AS (band_ix, band_val)")
+      val cand = bands.select(col("doc_id").as("a_id"), col("band_ix"), col("band_val"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band_ix"), col("band_val")),
+          Seq("band_ix", "band_val"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(codes.select(col("doc_id").as("a_id"), col("sl").as("la"), col("sh").as("ha")), "a_id")
+        .join(codes.select(col("doc_id").as("b_id"), col("sl").as("lb"), col("sh").as("hb")), "b_id")
+        .withColumn("hamming",
+          expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+        .where(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+    }),
+
     /** n-gram Jaccard near-dup scoring between consecutive docs (char trigrams). */
     "q_ngram_jaccard" -> ((s, dir) => {
       def g3(c: String) =
@@ -851,6 +881,26 @@ object SparkEntry {
       s"""SELECT doc_id, CAST($lo AS BIGINT) AS simhash_lo, CAST($hi AS BIGINT) AS simhash_hi
          |FROM (SELECT doc_id, list_distinct(list_transform($toksDuck, t -> ${fpSqlDuck("t")})) AS tokfps
          |      FROM documents)""".stripMargin
+    },
+    "q_simhash_near_dup" -> {
+      val lo = (0 until 32).map(simhashBitDuck).mkString(" + ")
+      val hi = (32 until 64).map(simhashBitDuck).mkString(" + ")
+      s"""WITH codes AS (
+         |  SELECT doc_id, CAST($lo AS BIGINT) AS sl, CAST($hi AS BIGINT) AS sh
+         |  FROM (SELECT doc_id, $shingleFpsDuck AS tokfps FROM documents)),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_ix, sl % 65536 AS band_val FROM codes UNION ALL
+         |  SELECT doc_id, 1, sl >> 16 FROM codes UNION ALL
+         |  SELECT doc_id, 2, sh % 65536 FROM codes UNION ALL
+         |  SELECT doc_id, 3, sh >> 16 FROM codes),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_ix = b.band_ix AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |       CAST(bit_count(xor(ca.sl, cb.sl)) + bit_count(xor(ca.sh, cb.sh)) AS BIGINT) AS hamming
+         |FROM cand JOIN codes ca ON ca.doc_id = a_id JOIN codes cb ON cb.doc_id = b_id
+         |WHERE bit_count(xor(ca.sl, cb.sl)) + bit_count(xor(ca.sh, cb.sh)) <= 3""".stripMargin
     },
     "q_ngram_jaccard" -> {
       def g3(c: String) =
