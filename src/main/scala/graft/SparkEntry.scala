@@ -590,9 +590,12 @@ object SparkEntry {
 
   private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    /** Document fingerprinting: deterministic rolling hash per doc. */
+    /** Document fingerprinting: deterministic rolling hash per doc, via the
+      * codegen kernel expression (bit-identical to the HOF form and oracle).
+      */
     "q_doc_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").selectExpr("doc_id", s"${fpSqlSpark("text")} AS fp")
+      t(s, dir, "documents").select(
+        col("doc_id"), rolling_fp(col("text")).as("fp"))
     }),
 
     /** MinHash signatures (8) over word-3-shingle sets. */
@@ -660,11 +663,10 @@ object SparkEntry {
       * bucket-bounded, never all-pairs); verify = exact hamming ≤ 3.
       */
     "q_simhash_near_dup" -> ((s, dir) => {
-      val lo = (0 until 32).map(simhashBitSpark).mkString(" + ")
-      val hi = (32 until 64).map(simhashBitSpark).mkString(" + ")
       val codes = shingleFps(t(s, dir, "documents"))
-        .selectExpr("doc_id", "fps AS tokfps")
-        .selectExpr("doc_id", s"CAST($lo AS BIGINT) AS sl", s"CAST($hi AS BIGINT) AS sh")
+        .select(col("doc_id"), simhash64(col("fps")).as("code"))
+        .select(col("doc_id"),
+          col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh"))
         .localCheckpoint(true) // one simhash pass; bands + verify reuse it
       val bands = codes.selectExpr("doc_id",
         "posexplode(array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16))) AS (band_ix, band_val)")

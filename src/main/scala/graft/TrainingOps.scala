@@ -60,10 +60,19 @@ object TrainingOps {
       " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
       " element_at(toks, i + 2))) END"
 
-  /** documents -> (doc_id, fps) with the staged plan; value-identical to
-    * `shingleFpsSpark` (oracle parity is unchanged).
+  /** documents -> (doc_id, fps), now via the codegen kernel expression
+    * (`graft.expr.TokenShingleFpsExpr`): one tight char loop per doc instead
+    * of interpreted HOF lambdas materializing a substring per character —
+    * bit-identical output (TextKernelsSpec parity; oracles unchanged).
     */
   def shingleFps(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.expr.functions.shingle_fps(col("text"), 3).as("fps"))
+
+  /** The declarative HOF twin of `shingleFps` — kept as the parity reference
+    * (TextKernelsSpec asserts equality) and as documentation of the staged
+    * tokens→shingles→fps plan shape.
+    */
+  def shingleFpsDeclarative(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "text", s"$toksSpark AS toks")
       .selectExpr("doc_id", s"$shinglesFromToksSpark AS shingles")
       .selectExpr("doc_id",

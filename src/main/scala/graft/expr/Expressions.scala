@@ -106,6 +106,80 @@ case class CleanExpr(child: Expression, cleaner: String)
   override protected def withNewChildInternal(c: Expression): CleanExpr = copy(child = c)
 }
 
+/** Rolling-hash fingerprint of a string (document fingerprinting): one codegen
+  * char loop instead of the interpreted aggregate/transform/substring HOF
+  * chain. Bit-identical to TrainingOps.fpSqlSpark (TextKernelsSpec).
+  */
+case class RollingFpExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.TextKernels.rollingFp(v.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextKernels.rollingFp($c.toString())")
+
+  override protected def withNewChildInternal(c: Expression): RollingFpExpr = copy(child = c)
+}
+
+/** Distinct word-k-shingle rolling-hash fingerprints (the MinHash/SimHash
+  * universe of one document) as one kernel call — the hot transform of every
+  * shingle-based dedup query.
+  */
+case class TokenShingleFpsExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_fps"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.TextKernels.tokenShingleFps(v.toString, k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |graft.core.TextKernels.tokenShingleFps($c.toString(), $k))""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): TokenShingleFpsExpr =
+    copy(child = c)
+}
+
+/** 64-bit SimHash of a fingerprint array -> array(lo, hi) 32-bit halves, one
+  * kernel loop (the declarative form is 64 interpreted aggregates over the
+  * same array). Bit-identical to the TrainingOps.simhashBit* fold.
+  */
+case class Simhash64Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.TextKernels.simhash64(
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |graft.core.TextKernels.simhash64($c.toLongArray()))""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Simhash64Expr = copy(child = c)
+}
+
 /** Phonetic-code expressions (soundex exists as a Spark builtin; metaphone and
   * norphone do not — SURVEY.md §2.4 K11).
   */

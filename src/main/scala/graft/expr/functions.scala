@@ -79,6 +79,11 @@ object functions {
   def clean_chain(cleaners: Seq[String], c: Column): Column =
     cleaners.foldLeft(c)((acc, n) => clean(n, acc))
 
+  // -------- text-dedup kernels --------
+  def rolling_fp(c: Column): Column = col2(RollingFpExpr(x(c)))
+  def shingle_fps(c: Column, k: Int = 3): Column = col2(TokenShingleFpsExpr(x(c), k))
+  def simhash64(c: Column): Column = col2(Simhash64Expr(x(c)))
+
   // -------- phonetics --------
   def soundex_code(c: Column): Column = col2(PhoneticExpr(x(c), "soundex"))
   def metaphone_code(c: Column): Column = col2(PhoneticExpr(x(c), "metaphone"))
