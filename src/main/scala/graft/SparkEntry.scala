@@ -90,9 +90,13 @@ object SparkEntry {
         micro(sim_jaro_winkler(col("c_name"), col("s_name"))).as("jw_micro"))
     }),
     "q_pair_qgram_dice" -> ((s, dir) => {
+      // all three K6 formulas (overlap / dice / jaccard) + a q=3 leg
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
-        micro(sim_qgram(col("c_name"), col("s_name"), q = 2, formula = 1)).as("dice_micro"))
+        micro(sim_qgram(col("c_name"), col("s_name"), q = 2, formula = 1)).as("dice_micro"),
+        micro(sim_qgram(col("c_name"), col("s_name"), q = 2, formula = 0)).as("overlap_micro"),
+        micro(sim_qgram(col("c_name"), col("s_name"), q = 2, formula = 2)).as("jaccard_micro"),
+        micro(sim_qgram(col("c_name"), col("s_name"), q = 3, formula = 1)).as("dice3_micro"))
     }),
     "q_pair_token_sets" -> ((s, dir) => {
       val a = clean_chain(Seq("lowercase-normalize"), col("c_name"))
@@ -387,14 +391,23 @@ object SparkEntry {
          |       ${microSql(DuckSql.jaroWinklerUnboosted("c_name", "s_name"))} AS jw_micro
          |$pairSetSql""".stripMargin,
     "q_pair_qgram_dice" -> {
-      def grams(c: String) =
-        s"list_distinct(list_transform(generate_series(1, length($c)-1), i -> substr($c, i, 2)))"
-      s"""SELECT c_custkey, s_suppkey,
-         |  ${microSql(
+      def grams(c: String, q: Int) =
+        s"list_distinct(list_transform(generate_series(1, length($c)-${q - 1}), i -> substr($c, i, $q)))"
+      def sim(q: Int, formulaSql: (String, String, String) => String) = {
+        val (a, b) = (grams("c_name", q), grams("s_name", q))
+        val inter = s"len(list_intersect($a, $b))"
         s"CASE WHEN c_name = s_name THEN 1.0 " +
-          s"WHEN length(c_name) < 2 OR length(s_name) < 2 THEN 0.0 " +
-          s"ELSE 2.0 * len(list_intersect(${grams("c_name")}, ${grams("s_name")})) " +
-          s"/ (len(${grams("c_name")}) + len(${grams("s_name")})) END")} AS dice_micro
+          s"WHEN length(c_name) < $q OR length(s_name) < $q THEN 0.0 " +
+          s"ELSE ${formulaSql(inter, s"len($a)", s"len($b)")} END"
+      }
+      val dice = (i: String, na: String, nb: String) => s"2.0 * $i / ($na + $nb)"
+      val overlap = (i: String, na: String, nb: String) => s"CAST($i AS DOUBLE) / LEAST($na, $nb)"
+      val jacc = (i: String, na: String, nb: String) => s"CAST($i AS DOUBLE) / ($na + $nb - $i)"
+      s"""SELECT c_custkey, s_suppkey,
+         |  ${microSql(sim(2, dice))} AS dice_micro,
+         |  ${microSql(sim(2, overlap))} AS overlap_micro,
+         |  ${microSql(sim(2, jacc))} AS jaccard_micro,
+         |  ${microSql(sim(3, dice))} AS dice3_micro
          |$pairSetSql""".stripMargin
     },
     "q_pair_token_sets" -> {
