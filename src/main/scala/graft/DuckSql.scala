@@ -76,6 +76,44 @@ object DuckSql {
       s" + list_sum(list_transform($tb, x -> list_max(list_transform($ta, y -> $jw)))) / len($tb)) / 2.0"
   }
 
+  /** Weighted-Levenshtein similarity (graft.core.Similarity
+    * .weightedLevenshteinSim, digitWeight 2.0) as a nested list_reduce DP —
+    * DuckDB's list_reduce requires accumulator type = element type, so DP rows
+    * fold over index-singleton DOUBLE[] lists. Every intermediate is an
+    * exact-integer-valued double (weights 1.0/2.0, sums, mins), so the single
+    * final division is correctly rounded in both engines: bit-exact
+    * (validated 0 mismatches over the full pair set in-session).
+    */
+  def weightedLevenshtein(x: String, y: String): String = {
+    def w(c: String) = s"(CASE WHEN $c BETWEEN '0' AND '9' THEN 2.0 ELSE 1.0 END)"
+    val xs = s"list_transform(generate_series(1, length($x)), i -> substr($x, i, 1))"
+    val ys = s"list_transform(generate_series(1, length($y)), i -> substr($y, i, 1))"
+    val row0 = s"list_reduce(list_prepend(CAST([0.0] AS DOUBLE[]), list_transform(ys0, c -> [${w("c")}])), " +
+      "(acc, e) -> list_append(acc, acc[len(acc)] + e[1]))"
+    val xc = "xs0[CAST(xi[1] AS INT)]"
+    val yj = "ys0[CAST(jd[1] AS INT)]"
+    val inner = s"list_reduce(list_prepend([prev[1] + ${w(xc)}], " +
+      "list_transform(generate_series(1, len(ys0)), j -> [CAST(j AS DOUBLE)])), " +
+      s"(cur, jd) -> list_append(cur, LEAST(" +
+      s"cur[len(cur)] + ${w(yj)}, " +
+      s"prev[CAST(jd[1] AS INT) + 1] + ${w(xc)}, " +
+      s"prev[CAST(jd[1] AS INT)] + (CASE WHEN $xc = $yj THEN 0.0 ELSE GREATEST(${w(xc)}, ${w(yj)}) END))))"
+    val dp = s"list_reduce(list_prepend(($row0), " +
+      "list_transform(generate_series(1, len(xs0)), i -> [CAST(i AS DOUBLE)])), " +
+      s"(prev, xi) -> ($inner))"
+    s"""(SELECT CASE
+       |   WHEN length(x0) = 0 AND length(y0) = 0 THEN 1.0
+       |   WHEN norm = 0.0 THEN (CASE WHEN d = 0.0 THEN 1.0 ELSE 0.0 END)
+       |   ELSE GREATEST(0.0, 1.0 - d / norm) END
+       | FROM (SELECT x0, y0,
+       |         (CASE WHEN len(xs0) = 0 THEN wy ELSE ($dp)[len(ys0) + 1] END) AS d,
+       |         LEAST(wx, wy) AS norm
+       |       FROM (SELECT x0, y0, xs0, ys0,
+       |               coalesce(list_sum(list_transform(xs0, c -> ${w("c")})), 0.0) AS wx,
+       |               coalesce(list_sum(list_transform(ys0, c -> ${w("c")})), 0.0) AS wy
+       |             FROM (SELECT $x AS x0, $y AS y0, $xs AS xs0, $ys AS ys0))))""".stripMargin
+  }
+
   /** Haversine similarity in the kernel's exact operation order
     * (graft.core.Similarity.geoSim): Java toRadians is x/180·π, distance
     * 2·R·asin(min(1,√h)), sim = max(0, 1 − d/maxMeters).

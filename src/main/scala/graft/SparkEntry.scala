@@ -352,16 +352,26 @@ object SparkEntry {
         micro(sim_geoposition(ga, gb, 1000000.0)).as("geo_micro"))
     }),
 
+    // ---------------- weighted-Levenshtein, fully oracled (K3) ----------------
+    // the char-class-weighted DP runs in DuckDB as a nested list_reduce; all
+    // intermediates are exact-integer-valued doubles, so the result is
+    // bit-exact (0 mismatches over the pair set — DuckSql.weightedLevenshtein)
+    "q_pair_weighted_lev" -> ((s, dir) => {
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_weighted_levenshtein(col("c_name"), col("s_name"), 2.0)).as("wlev_micro"))
+    }),
+
     // ---------------- comparators DuckDB genuinely cannot express (rows-only) ----------------
-    // Residual by construction, not omission: weighted-Levenshtein and LCS are
-    // iterative DP, Metaphone is a stateful FSM, person-name does greedy
-    // assignment — none restatable as DuckDB SQL. Pinned by golden kernel
-    // tests (SimilaritySpec) instead; the driver records a rows-only check.
+    // Residual by construction, not omission: LCS repeatedly REMOVES the
+    // longest common substring (stateful loop over shrinking strings),
+    // Metaphone is a stateful FSM, person-name does greedy assignment with
+    // used-token state — none restatable as DuckDB SQL. Pinned by golden
+    // kernel tests (SimilaritySpec); the driver records a rows-only check.
     "q_pair_residual_sims" -> ((s, dir) => {
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
         micro(sim_person_name(col("c_name"), col("s_name"))).as("person_micro"),
-        micro(sim_weighted_levenshtein(col("c_name"), col("s_name"), 2.0)).as("wlev_micro"),
         micro(sim_lcs(col("c_name"), col("s_name"))).as("lcs_micro"),
         micro(sim_metaphone(col("c_name"), col("s_name"))).as("mp_eq_micro"))
     }))
@@ -588,6 +598,10 @@ object SparkEntry {
          |FROM (SELECT c_custkey, s_suppkey,
          |        ${DuckSql.wsTokens("c_name")} AS ta, ${DuckSql.wsTokens("s_name")} AS tb
          |      $pairSetSql)""".stripMargin,
+    "q_pair_weighted_lev" ->
+      s"""SELECT c_custkey, s_suppkey,
+         |  ${microSql(DuckSql.weightedLevenshtein("c_name", "s_name"))} AS wlev_micro
+         |$pairSetSql""".stripMargin,
     "q_pair_geo" -> {
       val sim = DuckSql.haversineSim(
         "CAST(c_custkey % 5 + 40 AS DOUBLE)", "CAST(c_custkey % 7 + 20 AS DOUBLE)",
