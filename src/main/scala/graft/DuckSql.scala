@@ -114,6 +114,51 @@ object DuckSql {
        |             FROM (SELECT $x AS x0, $y AS y0, $xs AS xs0, $ys AS ys0))))""".stripMargin
   }
 
+  /** Duke tokenNameSim (graft.core.Similarity.tokenNameSim): exact 1.0,
+    * initial-vs-full 0.9 (either side), else unboosted Jaro-Winkler.
+    */
+  def tokenNameSim(x: String, y: String): String =
+    s"(CASE WHEN $x = $y THEN 1.0 " +
+      s"WHEN length($x) = 1 AND length($y) >= 1 AND substr($y,1,1) = substr($x,1,1) THEN 0.9 " +
+      s"WHEN length($y) = 1 AND length($x) >= 1 AND substr($x,1,1) = substr($y,1,1) THEN 0.9 " +
+      s"ELSE ${jaroWinklerUnboosted(x, y)} END)"
+
+  /** PersonName similarity for names of EXACTLY two distinct single-space
+    * tokens each (graft.core.Similarity.personNameSim restricted to the 2×2
+    * shape): equal -> 1.0; equal token sets -> 0.95; else canonical
+    * orientation (lexicographic — equal token counts) and the kernel's greedy
+    * assignment (a1 takes the strictly-best of b1/b2, first-scanned wins
+    * ties, nothing when both are 0; a2 takes the best unused), capped at
+    * 0.95. Flat CTE pipeline — DuckDB 1.0 mis-binds deep correlated scalar
+    * subqueries, so `ctes`+`result` slot into a WITH chain. Validated
+    * bit-exact over the full pair set in-session.
+    */
+  def personName2x2Ctes(naExpr: String, nbExpr: String, from: String): String =
+    s"""base AS (
+       |  SELECT *, $naExpr AS na, $nbExpr AS nb $from),
+       |tok AS (
+       |  SELECT *,
+       |    string_split(CASE WHEN na <= nb THEN na ELSE nb END, ' ')[1] AS a1,
+       |    string_split(CASE WHEN na <= nb THEN na ELSE nb END, ' ')[2] AS a2,
+       |    string_split(CASE WHEN na <= nb THEN nb ELSE na END, ' ')[1] AS b1,
+       |    string_split(CASE WHEN na <= nb THEN nb ELSE na END, ' ')[2] AS b2
+       |  FROM base),
+       |sims AS (SELECT *, ${tokenNameSim("a1", "b1")} AS s11,
+       |                 ${tokenNameSim("a1", "b2")} AS s12 FROM tok),
+       |greedy AS (
+       |  SELECT *,
+       |    CASE WHEN s12 > s11 THEN s12 WHEN s11 > 0 THEN s11 ELSE 0.0 END AS sA1,
+       |    CASE WHEN s12 > s11 THEN ${tokenNameSim("a2", "b1")}
+       |         WHEN s11 > 0 THEN ${tokenNameSim("a2", "b2")}
+       |         ELSE GREATEST(${tokenNameSim("a2", "b1")}, ${tokenNameSim("a2", "b2")},
+       |                       CAST(0.0 AS DOUBLE)) END AS sA2
+       |  FROM sims)""".stripMargin
+
+  val personName2x2Result: String =
+    """CASE WHEN na = nb THEN 1.0
+      |     WHEN (a1 = b1 AND a2 = b2) OR (a1 = b2 AND a2 = b1) THEN 0.95
+      |     ELSE LEAST(0.95, (sA1 + sA2) / 2.0) END""".stripMargin
+
   /** Haversine similarity in the kernel's exact operation order
     * (graft.core.Similarity.geoSim): Java toRadians is x/180·π, distance
     * 2·R·asin(min(1,√h)), sim = max(0, 1 − d/maxMeters).

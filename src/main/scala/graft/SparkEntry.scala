@@ -362,12 +362,31 @@ object SparkEntry {
         micro(sim_weighted_levenshtein(col("c_name"), col("s_name"), 2.0)).as("wlev_micro"))
     }),
 
+    // ---------------- person-name, oracled on the 2×2-token shape (K12) ----------------
+    // synthetic two-token names (initial + name, sometimes token-swapped or
+    // near-matched) exercise the kernel's set-equality 0.95, initial rules,
+    // canonical orientation and greedy assignment — all enumerable in SQL for
+    // exactly two tokens per side (DuckSql.personName2x2*, 0 mismatches)
+    "q_pair_person_name" -> ((s, dir) => {
+      val initial = expr("chr(65 + c_nationkey % 26)")
+      val na = concat(initial, lit(" "), col("c_name"))
+      val nb = when(col("c_custkey") % 11 === 0, concat(col("c_name"), lit(" "), initial))
+        .when(col("c_custkey") % 5 === 0, concat(initial, lit(" "), col("s_name")))
+        .otherwise(concat(col("s_name"), lit(" "), expr("substr(s_name, 3, 1)")))
+      pairSet(s, dir).select(
+        col("c_custkey"), col("s_suppkey"),
+        micro(sim_person_name(na, nb)).as("pn_micro"))
+    }),
+
     // ---------------- comparators DuckDB genuinely cannot express (rows-only) ----------------
     // Residual by construction, not omission: LCS repeatedly REMOVES the
-    // longest common substring (stateful loop over shrinking strings),
-    // Metaphone is a stateful FSM, person-name does greedy assignment with
-    // used-token state — none restatable as DuckDB SQL. Pinned by golden
-    // kernel tests (SimilaritySpec); the driver records a rows-only check.
+    // longest common substring (a stateful loop over shrinking strings —
+    // the recursive-CTE restatement segfaults DuckDB 1.0 under nested
+    // lambdas, verified in-session), Metaphone is a stateful FSM. Pinned by
+    // golden kernel tests (SimilaritySpec); the driver records a rows-only
+    // check. person_micro over free-form names stays here as well — the
+    // oracled q_pair_person_name covers the 2×2-token shape; arbitrary token
+    // counts need unbounded greedy state.
     "q_pair_residual_sims" -> ((s, dir) => {
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
@@ -602,6 +621,16 @@ object SparkEntry {
       s"""SELECT c_custkey, s_suppkey,
          |  ${microSql(DuckSql.weightedLevenshtein("c_name", "s_name"))} AS wlev_micro
          |$pairSetSql""".stripMargin,
+    "q_pair_person_name" -> {
+      val na = "chr(65 + c_nationkey % 26) || ' ' || c_name"
+      val nb = "CASE WHEN c_custkey % 11 = 0 THEN c_name || ' ' || chr(65 + c_nationkey % 26) " +
+        "WHEN c_custkey % 5 = 0 THEN chr(65 + c_nationkey % 26) || ' ' || s_name " +
+        "ELSE s_name || ' ' || substr(s_name, 3, 1) END"
+      s"""WITH ${DuckSql.personName2x2Ctes(na, nb, pairSetSql)}
+         |SELECT c_custkey, s_suppkey,
+         |  ${microSql(s"(${DuckSql.personName2x2Result})")} AS pn_micro
+         |FROM greedy""".stripMargin
+    },
     "q_pair_geo" -> {
       val sim = DuckSql.haversineSim(
         "CAST(c_custkey % 5 + 40 AS DOUBLE)", "CAST(c_custkey % 7 + 20 AS DOUBLE)",
