@@ -32,17 +32,25 @@ object Neighborhood {
     * no chained `when()` offset expression, so codegen survives 10⁴ partitions.
     */
   def globalRank(df: DataFrame, key: Column, id: Column, partitions: Int): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, key, id).localCheckpoint(true)
+    // range exchange + narrow in-partition sort, pinned; the ONLY shuffle here.
+    val ranged = df.repartitionByRange(partitions, key, id)
+      .sortWithinPartitions(key, id)
+      .localCheckpoint(true)
+    // local rank WITHOUT a window: a window partitioned by __pid would force
+    // Catalyst to insert a hash exchange + sort on __pid (RangePartitioning
+    // does not satisfy the window's clustering requirement even though rows
+    // of one pid are physically co-located). monotonically_increasing_id is
+    // pid·2³³ + in-partition index, and the checkpointed sorted order is
+    // stable, so the low 33 bits ARE the local rank — one narrow pass.
     val local = ranged
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy(col("__pid")).orderBy(key, id)))
+      .withColumn("__lrn", pmod(monotonically_increasing_id(), lit(1L << 33)) + 1)
     val cumw = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid")).count()
       .withColumn("__off", coalesce(sum(col("count")).over(cumw), lit(0L)))
       .select(col("__pid"), col("__off"))
     local.join(broadcast(offsets), "__pid")
-      .withColumn("rank", col("__lrn").cast("long") + col("__off"))
+      .withColumn("rank", col("__lrn") + col("__off"))
       .drop("__pid", "__lrn", "__off")
   }
 
