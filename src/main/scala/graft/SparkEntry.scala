@@ -203,6 +203,39 @@ object SparkEntry {
         .select(col("doc_id").as("o_orderkey"), col("cluster_id"))
     }),
 
+    // ---------------- event sessionization + semi-structured props (events table) ----------------
+    // per-user sessions split on >30 min gaps: lag -> boundary flag -> running
+    // sum = session index (the standard distributed sessionization shape —
+    // shuffle once on user_id, everything else in-partition); microsecond
+    // integer arithmetic so the oracle is exact
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // ts is TIMESTAMP_NTZ; the cast interprets it in the session timezone
+      // (pinned to UTC in Verify AND Bench), matching DuckDB's epoch_us
+      t(s, dir, "events")
+        .withColumn("tsu", expr("unix_micros(cast(ts AS timestamp))"))
+        .withColumn("new_sess",
+          when(lag(col("tsu"), 1).over(w).isNull ||
+            col("tsu") - lag(col("tsu"), 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_ix", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_ix"))
+        .agg(count("*").as("n_events"),
+          min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+    }),
+    // JSON props extraction + per-type rollup: the semi-structured column op a
+    // training-data pipeline needs (opaque JSON string -> typed field)
+    "q_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("value_cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count("*").as("n"), sum(col("value_cents")).as("sum_value_cents"),
+          max(col("k")).as("max_k"))
+    }),
+
     // ---------------- dedup: exact (training-data ops) ----------------
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -531,6 +564,28 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsu,
+        |         CASE WHEN lag(tsu) OVER w IS NULL
+        |              OR tsu - lag(tsu) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |sess AS (
+        |  SELECT user_id, tsu,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_ix
+        |  FROM flagged)
+        |SELECT user_id, session_ix, count(*) AS n_events,
+        |       min(tsu) AS start_us, max(tsu) AS end_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_cleaner_phone" -> {
       val raw = "printf('(00%d) %d-%d', c_nationkey, c_custkey, c_custkey * 3 + 7)"
       val digits = s"regexp_replace($raw, '[^0-9]', '', 'g')"
