@@ -32,25 +32,20 @@ object TrainingOps {
   val toksSpark = "filter(split(text, ' '), x -> x <> '')"
   val toksDuck = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Word 3-shingles over the token array (MinHash input). */
-  val shinglesSpark: String =
-    s"CASE WHEN size($toksSpark) < 3 THEN array(text) ELSE " +
-      s"transform(sequence(1, size($toksSpark) - 2)," +
-      s" i -> concat_ws(' ', element_at($toksSpark, i), element_at($toksSpark, i + 1)," +
-      s" element_at($toksSpark, i + 2))) END"
+  /** Word 3-shingles over the token array (MinHash input; DuckDB oracle side —
+    * the Spark side runs the TokenShingleFpsExpr kernel, see `shingleFps`).
+    */
   val shinglesDuck: String =
     s"CASE WHEN len($toksDuck) < 3 THEN [text] ELSE " +
       s"list_transform(generate_series(1, len($toksDuck) - 2)," +
       s" i -> ($toksDuck)[i] || ' ' || ($toksDuck)[i+1] || ' ' || ($toksDuck)[i+2]) END"
 
-  /** Distinct shingle fingerprints (the MinHash universe of one doc). */
-  val shingleFpsSpark: String =
-    s"array_distinct(transform($shinglesSpark, s0 -> ${fpSqlSpark("s0")}))"
+  /** Distinct shingle fingerprints (the MinHash universe of one doc; oracle side). */
   val shingleFpsDuck: String =
     s"list_distinct(list_transform($shinglesDuck, s0 -> ${fpSqlDuck("s0")}))"
 
-  /** Staged variants over a pre-computed `toks` column: `shinglesSpark` inlines
-    * the token-split inside every element_at, making shingle construction
+  /** Staged shingles over a pre-computed `toks` column: inlining the
+    * token-split inside every element_at makes shingle construction
     * O(tokens²) per document — at scale the tokens/shingles/fps pipeline must
     * be staged through columns so each step evaluates once per row.
     */
@@ -78,25 +73,10 @@ object TrainingOps {
       .selectExpr("doc_id",
         s"array_distinct(transform(shingles, s0 -> ${fpSqlSpark("s0")})) AS fps")
 
-  /** MinHash signature i: min over shingle fps of (a_i*fp + b_i) mod P. */
-  def minhashSpark(i: Int): String =
-    s"array_min(transform($shingleFpsSpark, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007))"
-  def minhashDuck(i: Int): String =
-    s"list_min(list_transform($shingleFpsDuck, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007))"
-
-  val nBands = 4 // 8 signatures, 2 per band
+  val nBands = 4 // 8 minhash signatures, 2 per band (built inline in SparkEntry)
 
   // -------- embeddings --------
-  /** Cosine similarity between two array<float> columns, computed in double,
-    * strict left-to-right: identical FP bits in both engines.
-    */
-  def cosSpark(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE))," +
-        s" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
-  /** Staged variant: per-vector norms precomputed BEFORE the pair join (each
+  /** Cosine with per-vector norms precomputed BEFORE the pair join (each
     * vector's norm computed once, not once per pair — 3 dot products per pair
     * becomes 1). Bit-identical: same expressions over the same values, and
     * `dot/(sqrt(aa)*sqrt(bb))` evaluates exactly as `dot/(na*nb)`.
@@ -125,7 +105,6 @@ object TrainingOps {
     * banding over 4×16-bit sub-keys stays selective, where the old 16-bit
     * variant capped at 65 536 buckets.
     */
-  val simhashBits = 64
   def simhashBitSpark(b: Int): String =
     s"(CASE WHEN aggregate(tokfps, CAST(0 AS BIGINT)," +
       s" (acc, f) -> acc + 2 * (((${2 * b + 1} * f + ${7919 * b + 13}) % 1000000007) % 2) - 1) > 0" +
