@@ -73,6 +73,32 @@ class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
   }
 }
 
+/** Bucketed-table helpers (SURVEY.md §4 / builder mandate "bucketing for
+  * co-located joins"): records written `bucketBy(doc_id)` join pair ids (or
+  * each other) WITHOUT a shuffle on the bucketed side — at 100 TB the
+  * pre-bucketed corpus turns every per-round scoring join from
+  * corpus-shuffle + join into scan + join. BucketedJoinSpec asserts the
+  * exchange really disappears from the physical plan.
+  */
+object Tables {
+
+  /** Write as a bucketed external table (path-backed, so nothing lands in the
+    * session warehouse); sorted within buckets for merge-friendly reads.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** Checkpoint manifest for mid-pipeline resume (BASELINE north_rule
   * "resumable from checkpoint"): completed stages recorded as
   * `name<TAB>path<TAB>rows` lines, appended atomically after each stage's

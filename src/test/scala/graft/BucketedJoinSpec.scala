@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Bucketing for co-located joins (builder mandate; SURVEY.md §4): a join of
+  * two tables bucketed on the join key must run with ZERO shuffle exchanges —
+  * the physical proof that a pre-bucketed 100 TB corpus joins without moving.
+  */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("join of two doc_id-bucketed tables has no ShuffleExchange and is exact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-buckets").toString
+    val records = (1 to 4000).map(i => (f"d$i%05d", s"name$i")).toDF("doc_id", "name")
+    val scores = (1 to 4000).map(i => (f"d$i%05d", i * 0.001)).toDF("doc_id", "score")
+    Tables.writeBucketed(records, "graft_rec_b", s"$base/rec", "doc_id", 8)
+    Tables.writeBucketed(scores, "graft_sco_b", s"$base/sco", "doc_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("graft_rec_b").join(spark.table("graft_sco_b"), "doc_id")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be exchange-free, found: ${shuffles.map(_.nodeName)}")
+      assert(joined.count() === 4000)
+      val r = joined.where($"doc_id" === "d00042").collect()(0)
+      assert(r.getAs[String]("name") === "name42" && r.getAs[Double]("score") === 0.042)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_rec_b")
+      spark.sql("DROP TABLE IF EXISTS graft_sco_b")
+    }
+  }
+}
