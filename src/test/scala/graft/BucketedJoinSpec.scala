@@ -38,4 +38,20 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_sco_b")
     }
   }
+
+  test("partitionBy write + predicate reads only the matching partition (pruning)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-partitions").toString + "/docs"
+    (1 to 3000).map(i => (f"d$i%05d", s"lang${i % 5}", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+      .write.partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).where($"lang" === "lang3")
+    // physical proof: the scan carries a partition filter...
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang3"), plan.take(800))
+    // ...and only lang=lang3 files are actually read
+    val filesRead = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(filesRead.nonEmpty && filesRead.forall(_.contains("lang=lang3")), filesRead.take(3).toSeq)
+    assert(q.count() === 600)
+  }
 }
