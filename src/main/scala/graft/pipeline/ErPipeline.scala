@@ -204,10 +204,15 @@ object ErPipeline {
     * A x B (no triangular dedup needed; sides are disjoint by construction).
     * Skew is judged on BOTH sides: a key is dropped when either side exceeds
     * `maxBlockSize` (dropped mass reported as |A_k|·|B_k| — actual pair count,
-    * consistent with `pairs`' n·(n−1)/2), and salted on max(|A_k|, |B_k|), so
-    * per-(key, salt) task output is bounded regardless of which corpus is hot.
-    * Only keys present in BOTH corpora matter — a key hot on one side but
-    * absent from the other produces no pairs and is neither dropped nor salted.
+    * consistent with `pairs`' n·(n−1)/2), and hot keys are GRID-salted:
+    * A splits into sa = ceil(|A_k|/T) row-salts, B into sb = ceil(|B_k|/T)
+    * column-salts; each A row replicates across the sb columns of its row,
+    * each B row across the sa rows of its column, and the join runs per
+    * (key, i, j) cell — every cell sees ≤ T×T pairs no matter which side is
+    * hot (1-D salting bounds only the salted side; a key hot on BOTH sides
+    * still produced T×|other| cells). Only keys present in BOTH corpora
+    * matter — a key hot on one side but absent from the other produces no
+    * pairs and is neither dropped nor salted.
     */
   def linkPairs(
       blocksA: Dataset[BlockRow],
@@ -231,31 +236,29 @@ object ErPipeline {
 
     val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
       .select($"key", lit(true).as("__drop"))
-    // salt the LARGER side by doc-id hash, replicate the SMALLER side across
-    // all salt buckets — replication volume is |smaller|·salts, never
-    // |larger|·salts (the wrong-way replication would explode a hot A side)
     val hotKeys = skewTail
       .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
-      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"),
-        ($"na" >= $"nb").as("saltA"))
+      .select($"key",
+        ceil($"na" / cfg.saltThreshold).cast("int").as("sa"),
+        ceil($"nb" / cfg.saltThreshold).cast("int").as("sb"))
     val nSalted = hotKeys.count()
 
     def salted(blocks: Dataset[BlockRow]) = blocks
       .join(broadcast(dropKeys), Seq("key"), "left")
       .where($"__drop".isNull)
       .join(broadcast(hotKeys), Seq("key"), "left")
-      .withColumn("salts", coalesce($"salts", lit(1)))
-      .withColumn("saltA", coalesce($"saltA", lit(true)))
-    val hashSalt = pmod(xxhash64($"doc_id"), $"salts").cast("int")
-    val allSalts = sequence(lit(0), $"salts" - 1)
+      .withColumn("sa", coalesce($"sa", lit(1)))
+      .withColumn("sb", coalesce($"sb", lit(1)))
     val a = salted(blocksA)
-      .withColumn("salt", explode(when($"saltA", array(hashSalt)).otherwise(allSalts)))
-      .select($"key", $"doc_id".as("a_id"), $"salt")
+      .withColumn("i", pmod(xxhash64($"doc_id"), $"sa").cast("int"))
+      .withColumn("j", explode(sequence(lit(0), $"sb" - 1)))
+      .select($"key", $"doc_id".as("a_id"), $"i", $"j")
     val b = salted(blocksB)
-      .withColumn("salt", explode(when(!$"saltA", array(hashSalt)).otherwise(allSalts)))
-      .select($"key", $"doc_id".as("b_id"), $"salt")
+      .withColumn("j", pmod(xxhash64($"doc_id"), $"sb").cast("int"))
+      .withColumn("i", explode(sequence(lit(0), $"sa" - 1)))
+      .select($"key", $"doc_id".as("b_id"), $"i", $"j")
 
-    val pairs = a.join(b, Seq("key", "salt"))
+    val pairs = a.join(b, Seq("key", "i", "j"))
       .groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
       .as[PairIds]
     (pairs, PairStats(dropped.getLong(0), dropped.getDouble(1), nSalted))

@@ -91,6 +91,14 @@ class PairsSpec extends SparkSpec {
     assert(stats.saltedBlocks >= 1)
     val dup = pairs.groupBy($"a_id", $"b_id").count().where($"count" > 1).count()
     assert(dup === 0)
+
+    // grid salting, A-side-only-hot: sa > 1, sb = 1 — exact set, no dupes
+    val a2 = (1 to 60).map(i => BlockRow(f"x$i%03d", "hh"))
+    val b2 = (1 to 5).map(i => BlockRow(f"y$i%03d", "hh"))
+    val (p2, st2) = ErPipeline.linkPairs(a2.toDS(), b2.toDS(), PairConfig(saltThreshold = 8))
+    val got2 = p2.collect().map(p => (p.a_id, p.b_id)).toSet
+    assert(got2 === (for (ra <- a2; rb <- b2) yield (ra.doc_id, rb.doc_id)).toSet)
+    assert(st2.saltedBlocks === 1)
   }
 
   test("pair set is independent of input partitioning and shuffle partitions") {
