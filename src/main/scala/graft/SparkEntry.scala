@@ -32,6 +32,9 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // deterministic order for nickname planting + the oracle CASE chain (C6)
+  private val nickKeys: Seq[String] = graft.core.Cleaners.nicknames.keys.toSeq.sorted
+
   /** supplier x customer within the same nation — the standing pair set used by
     * comparator demos (~6k pairs at sf0.01). Blocking key = nationkey (P2/J2).
     */
@@ -340,6 +343,19 @@ object SparkEntry {
         col("s_suppkey"),
         clean("address-norwegian", raw).as("addr_norm"))
     }),
+    // ---------------- person-name cleaner (C6 — the last kernel-only cleaner) ----------------
+    "q_cleaner_person" -> ((s, dir) => {
+      // plant a nickname token (picked by custkey) around the name, one
+      // UPPERCASED so the normalize-before-mapping order is exercised; the
+      // DuckDB oracle regenerates the CASE chain from Cleaners.nicknames
+      val nicks = nickKeys
+      val nick = element_at(
+        array(nicks.map(lit): _*), (col("c_custkey") % nicks.size).cast("int") + 1)
+      val raw = concat(nick, lit(" "), col("c_name"), lit(" "), upper(nick))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        clean("person-name", raw).as("person_norm"))
+    }),
     "q_set_ops" -> ((s, dir) => {
       val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
       val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
@@ -642,6 +658,19 @@ object SparkEntry {
         |  CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'storgate 12' WHEN 1 THEN 'storgate 12'
         |       WHEN 2 THEN 'kirkeveien 3b' ELSE 'hovedveien 8' END AS addr_norm
         |FROM supplier""".stripMargin,
+    "q_cleaner_person" -> {
+      val nickList = "[" + nickKeys.map(k => s"'$k'").mkString(", ") + "]"
+      val cases = nickKeys
+        .map(k => s"WHEN '$k' THEN '${graft.core.Cleaners.nicknames(k)}'")
+        .mkString(" ")
+      val nick = s"($nickList)[CAST(c_custkey % ${nickKeys.size} AS INT) + 1]"
+      val raw = s"($nick || ' ' || c_name || ' ' || upper($nick))"
+      val norm = s"trim(regexp_replace(lower(strip_accents(trim($raw))), '[^a-z0-9]+', ' ', 'g'))"
+      s"""SELECT c_custkey,
+         |  array_to_string(list_transform(string_split($norm, ' '),
+         |    t -> CASE t $cases ELSE t END), ' ') AS person_norm
+         |FROM customer""".stripMargin
+    },
     "q_set_ops" ->
       """SELECT c_custkey AS custkey, 'buyer' AS kind FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)

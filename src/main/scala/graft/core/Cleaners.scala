@@ -138,9 +138,11 @@ object Cleaners {
   }
 
   /** Duke PersonNameCleaner `[D cleaners/PersonNameCleaner.java]`: normalize + known
-    * nickname mapping (subset; extensible via `mapping`).
+    * nickname mapping (subset; extensible via `mapping`). Public so the DuckDB
+    * oracle (`q_cleaner_person`) generates its CASE chain from the SAME
+    * dictionary — one source of truth for both engines.
     */
-  private val nicknames = Map(
+  val nicknames = Map(
     "bill" -> "william", "will" -> "william", "bob" -> "robert", "rob" -> "robert",
     "dick" -> "richard", "rick" -> "richard", "jim" -> "james", "jimmy" -> "james",
     "mike" -> "michael", "tom" -> "thomas", "tommy" -> "thomas", "tony" -> "anthony",
