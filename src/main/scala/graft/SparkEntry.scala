@@ -741,7 +741,7 @@ object SparkEntry {
     /** MinHash signatures (8) over word-3-shingle sets. */
     "q_minhash_signatures" -> ((s, dir) => {
       shingleFps(t(s, dir, "documents"))
-        .selectExpr(Seq("doc_id") ++ (0 until 8).map(i =>
+        .selectExpr(Seq("doc_id") ++ (0 until 2 * nBands).map(i =>
           s"array_min(transform(fps, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007)) AS mh$i"): _*)
     }),
 
@@ -757,20 +757,15 @@ object SparkEntry {
       // materialize signatures ONCE: bands (self-joined, 2 scans) + two fps
       // joins would otherwise re-run the per-character rolling-hash transform
       // up to 4× per document — at 100 TB that is 4 full corpus passes
-      val sigs = shingleFps(docs)
-        .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*)
-        .localCheckpoint(true)
-      // bucket-join on narrow (band, doc_id) only; dedup candidate ids BEFORE
-      // attaching the shingle arrays — shuffling/distinct-ing array columns is
-      // the expensive mistake at scale
-      val bands = sigs.selectExpr("doc_id",
-        s"posexplode(array(${(0 until nBands).map(j => s"band$j").mkString(",")})) AS (band_ix, band_val)")
-        .select(col("doc_id"), col("band_ix"), col("band_val"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band_ix"), col("band_val"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band_ix"), col("band_val")),
-          Seq("band_ix", "band_val"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+      val sigs = graft.io.Persist.truncate(shingleFps(docs)
+        .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*))
+      // candidate ids via the salted/capped banded join (exact-dup contraction
+      // + grid-salted bucket cells — BandedPairs); fps arrays re-attach AFTER
+      // the narrow id-only candidate generation
+      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+        sigs.selectExpr("doc_id AS id",
+          s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
+        config.pairCfg)
       val fps = sigs.select(col("doc_id"), col("fps"))
       cand
         .join(fps.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
@@ -778,7 +773,7 @@ object SparkEntry {
         .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
         .withColumn("jacc_micro", expr(
           "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
-        .where(col("jacc_micro") >= 800000)
+        .where(col("jacc_micro") >= config.jaccardMinMicro)
         .select(col("a_id"), col("b_id"), col("jacc_micro"))
     }),
 
@@ -803,24 +798,22 @@ object SparkEntry {
       * bucket-bounded, never all-pairs); verify = exact hamming ≤ 3.
       */
     "q_simhash_near_dup" -> ((s, dir) => {
-      val codes = shingleFps(t(s, dir, "documents"))
+      // one simhash pass; bands + verify reuse it
+      val codes = graft.io.Persist.truncate(shingleFps(t(s, dir, "documents"))
         .select(col("doc_id"), simhash64(col("fps")).as("code"))
         .select(col("doc_id"),
-          col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh"))
-        .localCheckpoint(true) // one simhash pass; bands + verify reuse it
-      val bands = codes.selectExpr("doc_id",
-        "posexplode(array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16))) AS (band_ix, band_val)")
-      val cand = bands.select(col("doc_id").as("a_id"), col("band_ix"), col("band_val"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band_ix"), col("band_val")),
-          Seq("band_ix", "band_val"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+          col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh")))
+      // 4×16-bit pigeonhole sub-keys -> salted/capped banded join
+      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+        codes.selectExpr("doc_id AS id",
+          "array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16)) AS bands"),
+        config.pairCfg)
       cand
         .join(codes.select(col("doc_id").as("a_id"), col("sl").as("la"), col("sh").as("ha")), "a_id")
         .join(codes.select(col("doc_id").as("b_id"), col("sl").as("lb"), col("sh").as("hb")), "b_id")
         .withColumn("hamming",
           expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= config.hammingMax)
         .select(col("a_id"), col("b_id"), col("hamming"))
     }),
 
@@ -898,7 +891,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
         .selectExpr("vec_id", "embedding", s"${normSpark("embedding")} AS nrm")
-      val cents = e.where(col("vec_id") < 16)
+      val cents = e.where(col("vec_id") < config.ivfCentroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
       val affinities = e.join(broadcast(cents))
         .withColumn("cos_micro",
@@ -907,7 +900,7 @@ object SparkEntry {
       val aw = Window.partitionBy(col("vec_id")).orderBy(col("cos_micro").desc, col("cent_id"))
       val ranked = affinities.withColumn("crk", row_number().over(aw))
       val lists = ranked.where(col("crk") === 1).select(col("vec_id").as("cid"), col("cent_id"))
-      val probes = ranked.where(col("vec_id") < 8 && col("crk") <= 2)
+      val probes = ranked.where(col("vec_id") < 8 && col("crk") <= config.ivfProbes)
         .select(col("vec_id").as("qid"), col("cent_id"))
       val cand = probes.join(lists, "cent_id")
         .where(col("qid") =!= col("cid"))
@@ -927,16 +920,20 @@ object SparkEntry {
       * candidate space; verify with exact cosine >= 0.30 within buckets (the synthetic embeddings plant no true dups; 0.30 is the top-1% tail, demonstrating the operator shape).
       */
     "q_embed_near_dup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = graft.io.Persist.truncate(t(s, dir, "embeddings")
         .selectExpr("vec_id", "embedding",
-          s"CAST(${lshBucketSpark("embedding", 4)} AS BIGINT) AS bucket",
-          s"${normSpark("embedding")} AS nrm")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"), col("nrm").as("nb"))
-      a.join(b, "bucket").where(col("a_id") < col("b_id"))
+          s"CAST(${lshBucketSpark("embedding", config.nearDupPlanes)} AS BIGINT) AS bucket",
+          s"${normSpark("embedding")} AS nrm"))
+      // single-band bucket scheme -> same salted/capped discipline (a hot
+      // bucket of near-identical embeddings is the dup-heavy case here)
+      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+        e.selectExpr("vec_id AS id", "array(bucket) AS bands"), config.pairCfg)
+      cand
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")), "b_id")
         .withColumn("cos_micro",
           expr(s"CAST(FLOOR((${cosStagedSpark("va", "vb", "na", "nb")}) * 1e6 + 0.5) AS BIGINT)"))
-        .where(col("cos_micro") >= 300000)
+        .where(col("cos_micro") >= config.cosineMinMicro)
         .select(col("a_id"), col("b_id"), col("cos_micro"))
     }),
 
@@ -996,7 +993,7 @@ object SparkEntry {
     "q_doc_fingerprint" ->
       s"SELECT doc_id, ${fpSqlDuck("text")} AS fp FROM documents",
     "q_minhash_signatures" ->
-      s"""SELECT doc_id, ${(0 until 8).map(i =>
+      s"""SELECT doc_id, ${(0 until 2 * nBands).map(i =>
         s"list_min(list_transform(fps, f -> (${2 * i + 1} * f + ${7919 * i + 13}) % 1000000007)) AS mh$i").mkString(", ")}
          |FROM (SELECT doc_id, $shingleFpsDuck AS fps FROM documents)""".stripMargin,
     "q_lsh_near_dup_pairs" ->
@@ -1016,7 +1013,7 @@ object SparkEntry {
          |         / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) AS jacc_micro
          |FROM cand
          |WHERE CAST(FLOOR(CAST(len(list_intersect(fa, fb)) AS DOUBLE)
-         |  / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) >= 800000""".stripMargin,
+         |  / (len(fa) + len(fb) - len(list_intersect(fa, fb))) * 1e6 + 0.5) AS BIGINT) >= ${config.jaccardMinMicro}""".stripMargin,
     "q_simhash" -> {
       val lo = (0 until 32).map(simhashBitDuck).mkString(" + ")
       val hi = (32 until 64).map(simhashBitDuck).mkString(" + ")
@@ -1042,7 +1039,7 @@ object SparkEntry {
          |SELECT a_id, b_id,
          |       CAST(bit_count(xor(ca.sl, cb.sl)) + bit_count(xor(ca.sh, cb.sh)) AS BIGINT) AS hamming
          |FROM cand JOIN codes ca ON ca.doc_id = a_id JOIN codes cb ON cb.doc_id = b_id
-         |WHERE bit_count(xor(ca.sl, cb.sl)) + bit_count(xor(ca.sh, cb.sh)) <= 3""".stripMargin
+         |WHERE bit_count(xor(ca.sl, cb.sl)) + bit_count(xor(ca.sh, cb.sh)) <= ${config.hammingMax}""".stripMargin
     },
     "q_ngram_jaccard" -> {
       def g3(c: String) =
@@ -1090,14 +1087,14 @@ object SparkEntry {
          |aff AS (
          |  SELECT v.vec_id, c.vec_id AS cent_id,
          |         CAST(FLOOR((${cosDuck("v.embedding", "c.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro
-         |  FROM e v JOIN e c ON c.vec_id < 16),
+         |  FROM e v JOIN e c ON c.vec_id < ${config.ivfCentroids}),
          |ranked AS (
          |  SELECT vec_id, cent_id, cos_micro,
          |         row_number() OVER (PARTITION BY vec_id
          |                            ORDER BY cos_micro DESC, cent_id) AS crk
          |  FROM aff),
          |lists AS (SELECT vec_id AS cid, cent_id FROM ranked WHERE crk = 1),
-         |probes AS (SELECT vec_id AS qid, cent_id FROM ranked WHERE vec_id < 8 AND crk <= 2),
+         |probes AS (SELECT vec_id AS qid, cent_id FROM ranked WHERE vec_id < 8 AND crk <= ${config.ivfProbes}),
          |cand AS (
          |  SELECT DISTINCT qid, cid FROM probes JOIN lists USING (cent_id)
          |  WHERE qid <> cid)
@@ -1111,12 +1108,12 @@ object SparkEntry {
          |WHERE rk <= 3""".stripMargin,
     "q_embed_near_dup" ->
       s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", 4)} AS BIGINT) AS bucket
+         |  SELECT vec_id, embedding, CAST(${lshBucketDuck("embedding", config.nearDupPlanes)} AS BIGINT) AS bucket
          |  FROM embeddings)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |       CAST(FLOOR((${cosDuck("a.embedding", "b.embedding")}) * 1e6 + 0.5) AS BIGINT) AS cos_micro
          |FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE CAST(FLOOR((${cosDuck("a.embedding", "b.embedding")}) * 1e6 + 0.5) AS BIGINT) >= 300000""".stripMargin,
+         |WHERE CAST(FLOOR((${cosDuck("a.embedding", "b.embedding")}) * 1e6 + 0.5) AS BIGINT) >= ${config.cosineMinMicro}""".stripMargin,
     "q_lang_id" ->
       s"""SELECT doc_id,
          |  CAST(${langHitsDuck("en")} AS BIGINT) AS en_hits,

@@ -14,6 +14,31 @@ import org.apache.spark.sql.functions._
   */
 object TrainingOps {
 
+  /** Design-point knobs for the dedup/ANN family (BASELINE.md documents the
+    * 10¹²-doc math behind the defaults). One config object instead of
+    * scattered literals: retuning recall/selectivity for a corpus is a value
+    * change here, not a code edit — queries AND their generated DuckDB
+    * oracles read the same instance, so both sides move together.
+    */
+  case class Config(
+      shingleK: Int = 3,               // word-shingle width (MinHash universe)
+      minhashBands: Int = 4,           // LSH bands, 2 signatures each
+      jaccardMinMicro: Long = 800000L, // near-dup verify threshold (micro)
+      simhashBands: Int = 4,           // 16-bit sub-keys over the 64-bit code
+      hammingMax: Int = 3,             // ≤ simhashBands-1 (pigeonhole guarantee)
+      annBands: Int = 2,               // sign-LSH bands (multi-probe recall)
+      annPlanesPerBand: Int = 4,       // hyperplanes per band (2^p buckets)
+      ivfCentroids: Int = 16,          // IVF coarse-quantizer size K
+      ivfProbes: Int = 2,              // lists probed per query
+      nearDupPlanes: Int = 4,          // sign-LSH planes for embed near-dup
+      cosineMinMicro: Long = 300000L,  // embed near-dup verify threshold
+      // skew discipline for every banded candidate join (BandedPairs):
+      // salt buckets over saltThreshold, drop over maxBlockSize with mass
+      pairCfg: graft.pipeline.ErPipeline.PairConfig =
+        graft.pipeline.ErPipeline.PairConfig())
+
+  val config: Config = Config()
+
   /** Rolling-hash fingerprint of a string expression (document fingerprinting /
     * shingle hashing): fold (acc*31 + ascii) % 1000000007 — expressible in both
     * engines, overflow-free in 64 bits.
@@ -32,13 +57,16 @@ object TrainingOps {
   val toksSpark = "filter(split(text, ' '), x -> x <> '')"
   val toksDuck = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Word 3-shingles over the token array (MinHash input; DuckDB oracle side —
+  /** Word k-shingles over the token array (MinHash input; DuckDB oracle side —
     * the Spark side runs the TokenShingleFpsExpr kernel, see `shingleFps`).
+    * k comes from `config.shingleK` so oracle and kernel retune together.
     */
-  val shinglesDuck: String =
-    s"CASE WHEN len($toksDuck) < 3 THEN [text] ELSE " +
-      s"list_transform(generate_series(1, len($toksDuck) - 2)," +
-      s" i -> ($toksDuck)[i] || ' ' || ($toksDuck)[i+1] || ' ' || ($toksDuck)[i+2]) END"
+  val shinglesDuck: String = {
+    val k = config.shingleK
+    val cat = (0 until k).map(j => s"($toksDuck)[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toksDuck) < $k THEN [text] ELSE " +
+      s"list_transform(generate_series(1, len($toksDuck) - ${k - 1}), i -> $cat) END"
+  }
 
   /** Distinct shingle fingerprints (the MinHash universe of one doc; oracle side). */
   val shingleFpsDuck: String =
@@ -49,11 +77,12 @@ object TrainingOps {
     * O(tokens²) per document — at scale the tokens/shingles/fps pipeline must
     * be staged through columns so each step evaluates once per row.
     */
-  val shinglesFromToksSpark: String =
-    "CASE WHEN size(toks) < 3 THEN array(text) ELSE " +
-      "transform(sequence(1, size(toks) - 2)," +
-      " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)," +
-      " element_at(toks, i + 2))) END"
+  val shinglesFromToksSpark: String = {
+    val k = config.shingleK
+    val parts = (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    s"CASE WHEN size(toks) < $k THEN array(text) ELSE " +
+      s"transform(sequence(1, size(toks) - ${k - 1}), i -> concat_ws(' ', $parts)) END"
+  }
 
   /** documents -> (doc_id, fps), now via the codegen kernel expression
     * (`graft.expr.TokenShingleFpsExpr`): one tight char loop per doc instead
@@ -61,7 +90,8 @@ object TrainingOps {
     * bit-identical output (TextKernelsSpec parity; oracles unchanged).
     */
   def shingleFps(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), graft.expr.functions.shingle_fps(col("text"), 3).as("fps"))
+    docs.select(col("doc_id"),
+      graft.expr.functions.shingle_fps(col("text"), config.shingleK).as("fps"))
 
   /** The declarative HOF twin of `shingleFps` — kept as the parity reference
     * (TextKernelsSpec asserts equality) and as documentation of the staged
@@ -73,7 +103,7 @@ object TrainingOps {
       .selectExpr("doc_id",
         s"array_distinct(transform(shingles, s0 -> ${fpSqlSpark("s0")})) AS fps")
 
-  val nBands = 4 // 8 minhash signatures, 2 per band (built inline in SparkEntry)
+  def nBands: Int = config.minhashBands // 2 minhash signatures per band (built inline in SparkEntry)
 
   // -------- embeddings --------
   /** Cosine with per-vector norms precomputed BEFORE the pair join (each
@@ -152,8 +182,8 @@ object TrainingOps {
       s"(CASE WHEN $dot > 0 THEN ${1 << jj} ELSE 0 END)"
     }.mkString(" + ")
 
-  val annBands = 2
-  val annPlanesPerBand = 4
+  def annBands: Int = config.annBands
+  def annPlanesPerBand: Int = config.annPlanesPerBand
 
   // -------- text analysis --------
   val langWords = Seq(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.StageManifest
 import graft.model.{Doc, MatchConfig}
-import graft.pipeline.{Cluster, ErPipeline, Fixtures}
+import graft.pipeline.{Blocking, Cluster, ErPipeline, Fixtures}
 
 /** The end-to-end record-linkage job (SURVEY.md §3.3 pipeline):
   *
@@ -41,9 +41,12 @@ object LinkJob {
     }
     val records = recordsDf.as[ErPipeline.CleanRecord]
 
-    // ② blocking keys
+    // ② blocking keys — derived from the config's lookup flags
+    //    (`[D Property.java#getLookupBehaviour]`): properties marked
+    //    lookup=required/true drive candidate retrieval; a config without
+    //    flags falls back to the default scheme (Blocking.fromConfig)
     val blocksDf = m.stage(spark, "blocks") {
-      ErPipeline.block(records).toDF()
+      ErPipeline.block(records, Blocking.fromConfig(config)).toDF()
     }
     val blocks = blocksDf.as[ErPipeline.BlockRow]
 

@@ -89,19 +89,32 @@ object ErPipeline {
       .otherwise(raise_error(concat(
         lit("span invariant violated (kind/text/media_ref/order) for doc "), $"doc_id")))
 
+    // ONE pass over the spans array builds the (key, value) view — the kind
+    // dispatch and media_ref/text selection evaluate once per span, not once
+    // per (span × property); the per-property legs below then filter this
+    // narrow staged array. (A full fold-into-map would be worse, not better:
+    // Spark HOF aggregation has no in-place map/array update, so appending a
+    // value copies the accumulator — O(|spans|²) per row.) CollapseProject
+    // leaves the stage in place: the alias is non-cheap and referenced P
+    // times, so both narrow Projects survive back-to-back (span HOFs are
+    // interpreted expressions in Spark 4, so neither version codegens — the
+    // win is evaluation count, not fusion).
+    val kvs = expr(
+      "transform(spans, s -> named_struct(" +
+        "'k', IF(s.kind = 'media', 'media', s.kind)," +
+        "'v', IF(s.kind = 'media', s.media_ref, s.text)))")
+
     val entries: Seq[Column] = config.properties.flatMap { p =>
-      val src =
-        if (p.name == "media")
-          expr("transform(filter(spans, s -> s.kind = 'media'), s -> s.media_ref)")
-        else
-          expr(s"transform(filter(spans, s -> s.kind = '${p.name}'), s -> s.text)")
-      val cleaned = transform(src, v => graft.expr.functions.clean_chain(p.cleaners, v))
+      val src = filter(col("__kvs"), e => e.getField("k") === p.name)
+      val cleaned = transform(src, e =>
+        graft.expr.functions.clean_chain(p.cleaners, e.getField("v")))
       val nonEmpty = filter(cleaned, v => v.isNotNull && v =!= "")
       Seq(lit(p.name), coalesce(nonEmpty, array().cast("array<string>")))
     }
 
     docs.toDF()
-      .select(gatedId.as("doc_id"), map(entries: _*).as("props"))
+      .select(gatedId.as("doc_id"), kvs.as("__kvs"))
+      .select(col("doc_id"), map(entries: _*).as("props"))
       .as[CleanRecord]
   }
 
@@ -159,9 +172,9 @@ object ErPipeline {
     // broadcast exchanges below all read the checkpointed tail instead of
     // each re-running the full groupBy over the blocks table (4 corpus-scale
     // aggregations -> 1).
-    val skewTail = blocks.groupBy($"key").agg(count("*").as("n"))
-      .filter($"n" > cfg.saltThreshold)
-      .localCheckpoint(true)
+    val skewTail = graft.io.Persist.truncate(
+      blocks.groupBy($"key").agg(count("*").as("n"))
+        .filter($"n" > cfg.saltThreshold))
     val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
       .agg(count("*").as("blocks"),
         coalesce(sum(($"n" * ($"n" - 1) / 2).cast("double")), lit(0.0)).as("mass"))
@@ -224,11 +237,11 @@ object ErPipeline {
     // heavy tail only, as in `pairs` (broadcast never scales with distinct
     // keys); the tail is materialized ONCE so stats collect, salted count and
     // both broadcasts don't each re-run the two corpus-scale groupBys
-    val skewTail = blocksA.groupBy($"key").agg(count("*").as("na"))
-      .join(blocksB.groupBy($"key").agg(count("*").as("nb")), "key")
-      .withColumn("n", greatest($"na", $"nb"))
-      .filter($"n" > cfg.saltThreshold)
-      .localCheckpoint(true)
+    val skewTail = graft.io.Persist.truncate(
+      blocksA.groupBy($"key").agg(count("*").as("na"))
+        .join(blocksB.groupBy($"key").agg(count("*").as("nb")), "key")
+        .withColumn("n", greatest($"na", $"nb"))
+        .filter($"n" > cfg.saltThreshold))
     val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
       .agg(count("*").as("blocks"),
         coalesce(sum(($"na" * $"nb").cast("double")), lit(0.0)).as("mass"))
@@ -278,13 +291,26 @@ object ErPipeline {
   def score(
       pairIds: Dataset[PairIds],
       records: Dataset[CleanRecord],
+      config: MatchConfig): Dataset[ScoredPair] =
+    score(pairIds, records, records, config)
+
+  /** Two-corpus variant: a-side and b-side records come from different tables
+    * (incremental linkage: a = the new micro-batch, b = the accumulated
+    * corpus). When the b-side is a `doc_id`-bucketed table the b-join is
+    * exchange-free on the corpus side — only the (small) pair ids shuffle,
+    * the corpus never moves (BucketedCorpusSpec asserts the plan).
+    */
+  def score(
+      pairIds: Dataset[PairIds],
+      aRecords: Dataset[CleanRecord],
+      bRecords: Dataset[CleanRecord],
       config: MatchConfig): Dataset[ScoredPair] = {
     val spark = pairIds.sparkSession
     import spark.implicits._
     val cc = Duke.compile(config)
 
-    val a = records.toDF("a_id", "a_props")
-    val b = records.toDF("b_id", "b_props")
+    val a = aRecords.toDF("a_id", "a_props")
+    val b = bRecords.toDF("b_id", "b_props")
     val joined = pairIds.join(a, "a_id").join(b, "b_id")
       .select($"a_id", $"b_id", $"block_key", $"a_props", $"b_props")
       .as[(String, String, String, Map[String, Seq[String]], Map[String, Seq[String]])]

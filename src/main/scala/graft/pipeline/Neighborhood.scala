@@ -20,7 +20,10 @@ object Neighborhood {
   /** Globally contiguous dense rank (1-based) by (key, id) without a
     * single-partition sort. Output: input columns + `rank`.
     *
-    * The range partitioning is **pinned by an eager localCheckpoint** before
+    * The range partitioning is **pinned** (`Persist.truncate`: reliable
+    * checkpoint when a dir is configured — this is a corpus-scale
+    * materialization, and executor-local blocks would not survive executor
+    * loss on a real cluster — else eager localCheckpoint) before
     * anything reads it: `repartitionByRange` boundaries are sample-based and
     * not stable across separate executions of the same plan, so the offsets
     * job and the consuming job MUST observe one physical partitioning — at
@@ -33,9 +36,9 @@ object Neighborhood {
     */
   def globalRank(df: DataFrame, key: Column, id: Column, partitions: Int): DataFrame = {
     // range exchange + narrow in-partition sort, pinned; the ONLY shuffle here.
-    val ranged = df.repartitionByRange(partitions, key, id)
-      .sortWithinPartitions(key, id)
-      .localCheckpoint(true)
+    val ranged = graft.io.Persist.truncate(
+      df.repartitionByRange(partitions, key, id)
+        .sortWithinPartitions(key, id))
     // local rank WITHOUT a window: a window partitioned by __pid would force
     // Catalyst to insert a hash exchange + sort on __pid (RangePartitioning
     // does not satisfy the window's clustering requirement even though rows

@@ -100,7 +100,9 @@ object IncrementalLink {
       config: MatchConfig,
       corpusDir: String,
       edgesDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      corpusTable: Option[String] = None,
+      nBuckets: Int = 8): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -115,31 +117,53 @@ object IncrementalLink {
             .toDF().localCheckpoint(true).as[ErPipeline.BlockRow]
           val recordsDir = s"$corpusDir/records"
           val blocksDir = s"$corpusDir/blocks"
-          val hasCorpus = new java.io.File(s"$recordsDir/_SUCCESS").exists()
+          val hasCorpus = corpusTable match {
+            case Some(tn) => spark.catalog.tableExists(tn)
+            case None     => new java.io.File(s"$recordsDir/_SUCCESS").exists()
+          }
 
-          // new-new candidate pairs + new-old against the stored blocks table
+          // new-vs-new pairs score against the (small, pinned) batch records;
+          // new-vs-old pairs score with the a-side = batch, b-side = corpus —
+          // the corpus is only ever the BUILD side of one join, never unioned
+          // into the probe (a union would both re-shuffle the corpus each
+          // micro-batch and discard its bucketed distribution)
           val (nnPairs, _) = ErPipeline.pairs(newBlocks)
-          val pairIds =
-            if (!hasCorpus) nnPairs
+          val scoredNew = ErPipeline.score(nnPairs, newRecords, config)
+          val scored =
+            if (!hasCorpus) scoredNew
             else {
               val oldBlocks = spark.read.parquet(blocksDir).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
-              nnPairs.unionByName(noPairs)
+              val corpus = (corpusTable match {
+                case Some(tn) =>
+                  // the catalog caches the relation's file listing across
+                  // micro-batches; without a refresh the read misses the
+                  // previous batch's append and its pairs silently drop at
+                  // the inner props join
+                  spark.catalog.refreshTable(tn)
+                  spark.table(tn) // doc_id-bucketed: b-join is exchange-free
+                case None => spark.read.parquet(recordsDir)
+              }).as[ErPipeline.CleanRecord]
+              scoredNew.unionByName(
+                ErPipeline.score(noPairs, newRecords, corpus, config))
             }
-
-          val allRecords =
-            if (!hasCorpus) newRecords
-            else spark.read.parquet(recordsDir).as[ErPipeline.CleanRecord]
-              .unionByName(newRecords)
-          val scored = ErPipeline.score(pairIds, allRecords, config)
           // linkPairs keeps (new, old) orientation; normalize to (min, max)
           // so streamed edges equal the batch pipeline's bit-for-bit
           ErPipeline.matchEdges(scored, config)
             .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
             .write.mode("append").parquet(edgesDir)
-          // grow the corpus + its blocks table (Database.index analog)
-          newRecords.toDF().write.mode("append").parquet(recordsDir)
+          // grow the corpus + its blocks table (Database.index analog);
+          // bucketed-by-doc_id when a table name is configured, so every later
+          // batch's score join leaves the accumulated records in place
+          corpusTable match {
+            case Some(tn) =>
+              newRecords.toDF().write.mode("append")
+                .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+                .option("path", recordsDir).format("parquet").saveAsTable(tn)
+            case None =>
+              newRecords.toDF().write.mode("append").parquet(recordsDir)
+          }
           newBlocks.toDF().write.mode("append").parquet(blocksDir)
         }
         ()

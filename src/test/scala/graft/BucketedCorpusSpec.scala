@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.model.{Doc, MatchConfig, Span}
+import graft.pipeline.ErPipeline
+import graft.streaming.IncrementalLink
+
+/** The bucketed corpus actually pays off in a pipeline path (VERDICT r2 next-3):
+  * the incremental-link score join must leave a doc_id-bucketed corpus in
+  * place — no shuffle exchange over the corpus scan — and the streamed edges
+  * must stay bit-equal to the plain parquet-corpus run.
+  */
+class BucketedCorpusSpec extends SparkSpec {
+
+  private def doc(id: String, name: String, phone: String): Doc =
+    Doc(id, Seq(
+      Span("name", name, null, 0),
+      Span("address", "12 oak street salem", null, 3),
+      Span("phone", phone, null, 5)))
+
+  test("two-sided score against a bucketed corpus: no shuffle over the corpus scan") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-bcorpus").toString
+    val corpusDocs = (1 to 2000).map(i =>
+      doc(f"c$i%05d", s"person $i", f"555${i % 97}%04d"))
+    val newDocs = (1 to 50).map(i => doc(f"n$i%03d", s"person $i", f"555${i % 97}%04d"))
+    val cfg = MatchConfig.fixture
+
+    val corpusRecs = ErPipeline.extract(corpusDocs.toDS(), cfg)
+    Tables.writeBucketed(corpusRecs.toDF(), "graft_corpus_b", s"$base/rec", "doc_id", 8)
+    val newRecs = ErPipeline.extract(newDocs.toDS(), cfg).toDF()
+      .localCheckpoint(true).as[ErPipeline.CleanRecord]
+
+    val (pairIds, _) = ErPipeline.linkPairs(
+      ErPipeline.block(newRecs), ErPipeline.block(corpusRecs))
+    val pinnedPairs = pairIds.toDF().localCheckpoint(true).as[ErPipeline.PairIds]
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ: no trivial broadcast
+    try {
+      val bucketed = spark.table("graft_corpus_b").as[ErPipeline.CleanRecord]
+      val scored = ErPipeline.score(pinnedPairs, newRecs, bucketed, cfg)
+      val plan = scored.toDF().queryExecution.executedPlan
+      // the corpus scan must be bucket-pruned-joinable: NO exchange anywhere
+      // above the bucketed FileSourceScan
+      val shufflesOverCorpus = plan.collect {
+        case e: ShuffleExchangeExec if e.exists {
+          case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+          case _ => false
+        } => e
+      }
+      assert(shufflesOverCorpus.isEmpty,
+        s"corpus side re-shuffled: ${shufflesOverCorpus.map(_.nodeName)}")
+
+      // and the scores are identical to the plain-parquet corpus run
+      val plainScores = ErPipeline.score(pinnedPairs, newRecs, corpusRecs, cfg)
+        .collect().map(s => (s.a_id, s.b_id) -> s.score).toMap
+      val bucketedScores = scored.collect().map(s => (s.a_id, s.b_id) -> s.score).toMap
+      assert(bucketedScores === plainScores && plainScores.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_corpus_b")
+    }
+  }
+
+  test("linkStream with a bucketed corpus table: edges bit-equal to the parquet path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseB = Files.createTempDirectory("graft-stream-b").toString
+    val baseP = Files.createTempDirectory("graft-stream-p").toString
+
+    def run(base: String, table: Option[String]): Set[(String, String)] = {
+      val mem = MemoryStream[Doc]
+      val q = IncrementalLink.linkStream(
+        mem.toDS(), MatchConfig.fixture,
+        s"$base/corpus", s"$base/edges", s"$base/ckpt", corpusTable = table)
+      try {
+        mem.addData(doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"))
+        q.processAllAvailable()
+        mem.addData(doc("d2", "jon smith", "5551234"), doc("x2", "maria garcia", "9990000"))
+        q.processAllAvailable()
+        mem.addData(doc("d3", "john smyth", "5551234"))
+        q.processAllAvailable()
+        spark.read.parquet(s"$base/edges").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      } finally q.stop()
+    }
+
+    try {
+      val bucketedEdges = run(baseB, Some("graft_stream_corpus"))
+      val parquetEdges = run(baseP, None)
+      assert(bucketedEdges === parquetEdges && bucketedEdges.nonEmpty)
+      assert(bucketedEdges.contains(("d1", "d2")))
+      // the table really is bucketed and accumulated across batches
+      // (refresh: the catalog's cached file listing predates the last append)
+      spark.catalog.refreshTable("graft_stream_corpus")
+      val tbl = spark.table("graft_stream_corpus")
+      assert(tbl.count() === 5L)
+      val cat = spark.sql("DESCRIBE TABLE EXTENDED graft_stream_corpus")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(cat.contains("doc_id") && cat.toLowerCase.contains("bucket"), cat)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_stream_corpus")
+  }
+}

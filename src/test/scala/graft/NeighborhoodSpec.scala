@@ -36,6 +36,26 @@ class NeighborhoodSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("globalRank under a reliable checkpoint dir (cluster-mode pin path)") {
+    import spark.implicits._
+    // with a checkpoint dir configured, Persist.truncate upgrades the
+    // range-partition pin to a reliable checkpoint (survives executor loss);
+    // ranks must be identical to the local-pin path
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-ckpt")
+    dir.toFile.deleteOnExit()
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val rows = (1 to 200).map(i => (f"id$i%04d", s"k${i % 9}%02d"))
+      val got = Neighborhood.globalRank(
+        rows.toDF("id", "k").repartition(13), col("k"), col("id"), partitions = 6)
+        .select("id", "rank").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val want = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+        .map { case ((id, _), ix) => id -> (ix + 1L) }.toMap
+      assert(got === want)
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("pairs == naive window pairs (w=3)") {
     import spark.implicits._
     val r = new scala.util.Random(59)

@@ -56,6 +56,32 @@ class ResumeSpec extends SparkSpec {
     assert(metrics(("job", "pairs")) === s.pairs.toDouble)
   }
 
+  test("lookup-flagged config drives production blocking in LinkJob") {
+    import graft.model.PropertySpec
+    val out = tmpDir("graft-lookup").toString
+    val docs = Fixtures.docs(spark, 250)
+    // flag phone as the only lookup property: every blocking key must be its
+    // exact cleaned value (fromConfig's "<prop>:" prefix), and the pipeline
+    // still finds matches through it
+    val cfg = MatchConfig.fixture.copy(properties =
+      MatchConfig.fixture.properties.map(p =>
+        if (p.name == "phone") p.copy(lookup = "required") else p))
+    val s = LinkJob.run(spark, docs, cfg, out)
+    val keys = spark.read.parquet(s"$out/blocks")
+      .select("key").distinct().collect().map(_.getString(0))
+    assert(keys.nonEmpty && keys.forall(_.startsWith("phone:")))
+    assert(s.pairs > 0 && s.matches > 0)
+
+    // unflagged config keeps the default scheme (soundex + phone digits) —
+    // summary equals a run with the explicit default keyers
+    val outDefault = tmpDir("graft-default").toString
+    val sDefault = LinkJob.run(spark, docs, MatchConfig.fixture, outDefault)
+    val defKeys = spark.read.parquet(s"$outDefault/blocks")
+      .select("key").distinct().collect().map(_.getString(0))
+    assert(defKeys.exists(_.startsWith("n:")) && defKeys.exists(_.startsWith("p:")))
+    assert(sDefault.matches > 0)
+  }
+
   test("resume mid-pipeline reproduces the clean run exactly") {
     val cleanOut = tmpDir("graft-clean").toString
     val resumeOut = tmpDir("graft-resume").toString

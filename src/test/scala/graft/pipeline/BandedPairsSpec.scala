@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.ErPipeline.PairConfig
+
+/** The banded near-dup candidate joins (MinHash-LSH / SimHash / sign-LSH
+  * buckets) must produce EXACTLY the naive bands-self-join pair set —
+  * independent of salting and of the exact-signature contraction — and a
+  * planted duplicate-heavy bucket (the 100 TB crawl-corpus hazard) must be
+  * capped with its pair mass reported, never joined quadratically or dropped
+  * silently (VERDICT r2 "What's wrong #1").
+  */
+class BandedPairsSpec extends SparkSpec {
+
+  private def items(rows: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "bands")
+  }
+
+  private def naive(rows: Seq[(Long, Seq[Long])]): Set[(Long, Long)] =
+    (for {
+      (ia, ba) <- rows; (ib, bb) <- rows
+      if ia < ib && ba.indices.exists(k => ba(k) == bb(k))
+    } yield (ia, ib)).toSet
+
+  private def got(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("equals the naive banded self-join, with and without salting") {
+    val r = new scala.util.Random(17)
+    // 4 bands over a small value space -> plenty of collisions; a few exact
+    // signature groups (ids 0-9 share one vector) exercise the contraction
+    val rows: Seq[(Long, Seq[Long])] =
+      (0L until 10L).map(i => i -> Seq(100L, 200L, 300L, 400L)) ++
+        (10L until 150L).map(i => i -> Seq.fill(4)(r.nextInt(25).toLong))
+    val (p1, s1) = BandedPairs.candidates(items(rows))
+    assert(got(p1) === naive(rows))
+    assert(s1.droppedPairsMass === 0.0)
+    // low threshold: both the intra self-join and the band join salt, output
+    // identical (salting changes the plan, never the pair set)
+    val (p2, s2) = BandedPairs.candidates(items(rows), PairConfig(saltThreshold = 4))
+    assert(got(p2) === naive(rows))
+    assert(s2.saltedBlocks >= 1)
+  }
+
+  test("no duplicate pairs across multiple shared bands or group expansion") {
+    import spark.implicits._
+    // two signature groups that also share band values cross-group
+    val rows: Seq[(Long, Seq[Long])] =
+      (0L until 6L).map(i => i -> Seq(1L, 2L)) ++
+        (6L until 12L).map(i => i -> Seq(1L, 3L)) // shares band 0 with group 1
+    val (p, _) = BandedPairs.candidates(items(rows))
+    assert(got(p) === naive(rows))
+    val dup = p.groupBy($"a_id", $"b_id").count().where($"count" > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("planted 10k-duplicate bucket is capped with reported mass") {
+    // 10 000 exact copies of one signature + a small healthy tail: the naive
+    // join would build ~5·10⁷ pairs in ONE key cell; with maxBlockSize=1000
+    // the dup group is dropped entirely and its mass reported, while the
+    // healthy pairs still come out exactly
+    val dups: Seq[(Long, Seq[Long])] =
+      (0L until 10000L).map(i => i -> Seq(7L, 7L, 7L, 7L))
+    val tail: Seq[(Long, Seq[Long])] =
+      (20000L until 20040L).map(i => i -> Seq(i % 5 + 100L, 200L + i % 7, 300L, 400L + i % 3))
+    val (p, st) = BandedPairs.candidates(
+      items(dups ++ tail), PairConfig(saltThreshold = 64, maxBlockSize = 1000))
+    assert(st.intra.droppedBlocks === 1)
+    assert(st.intra.droppedPairsMass === 10000.0 * 9999 / 2)
+    // reps of the dup group still band-join against the tail (they share no
+    // band values here, so cross pairs = the tail's own naive pairs)
+    assert(got(p) === naive(tail))
+  }
+
+  test("hot band value across DISTINCT signatures is dropped at the band join") {
+    // 200 items, all distinct signatures, all sharing band 0 value 5: the
+    // contraction cannot help (no exact dups) — the cap must fire on the
+    // band-bucket key itself
+    val rows: Seq[(Long, Seq[Long])] =
+      (0L until 200L).map(i => i -> Seq(5L, 1000L + i))
+    val (p, st) = BandedPairs.candidates(
+      items(rows), PairConfig(saltThreshold = 16, maxBlockSize = 100))
+    assert(st.cross.droppedBlocks === 1)
+    assert(st.cross.droppedPairsMass === 200.0 * 199 / 2)
+    assert(got(p) === Set.empty)
+  }
+}
