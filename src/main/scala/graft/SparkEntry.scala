@@ -762,7 +762,7 @@ object SparkEntry {
       // candidate ids via the salted/capped banded join (exact-dup contraction
       // + grid-salted bucket cells — BandedPairs); fps arrays re-attach AFTER
       // the narrow id-only candidate generation
-      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+      val cand = graft.pipeline.BandedPairs.candidatePairs(
         sigs.selectExpr("doc_id AS id",
           s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
         config.pairCfg)
@@ -804,7 +804,7 @@ object SparkEntry {
         .select(col("doc_id"),
           col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh")))
       // 4×16-bit pigeonhole sub-keys -> salted/capped banded join
-      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+      val cand = graft.pipeline.BandedPairs.candidatePairs(
         codes.selectExpr("doc_id AS id",
           "array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16)) AS bands"),
         config.pairCfg)
@@ -926,7 +926,7 @@ object SparkEntry {
           s"${normSpark("embedding")} AS nrm"))
       // single-band bucket scheme -> same salted/capped discipline (a hot
       // bucket of near-identical embeddings is the dup-heavy case here)
-      val (cand, _) = graft.pipeline.BandedPairs.candidates(
+      val cand = graft.pipeline.BandedPairs.candidatePairs(
         e.selectExpr("vec_id AS id", "array(bucket) AS bands"), config.pairCfg)
       cand
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
