@@ -751,9 +751,7 @@ object SparkEntry {
       */
     "q_lsh_near_dup_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val bandExprs = (0 until nBands).map(j =>
-        s"(array_min(transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
-          s" + array_min(transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j")
+      val bandExprs = (0 until nBands).map(j => s"${minhashBandSpark(j)} AS band$j")
       // materialize signatures ONCE: bands (self-joined, 2 scans) + two fps
       // joins would otherwise re-run the per-character rolling-hash transform
       // up to 4× per document — at 100 TB that is 4 full corpus passes
@@ -999,8 +997,7 @@ object SparkEntry {
     "q_lsh_near_dup_pairs" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, fps, ${(0 until nBands).map(j =>
-        s"(list_min(list_transform(fps, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
-          s" + list_min(list_transform(fps, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007))) AS band$j").mkString(", ")}
+        s"${minhashBandDuck(j)} AS band$j").mkString(", ")}
          |  FROM (SELECT doc_id, $shingleFpsDuck AS fps FROM documents)),
          |bands AS (${(0 until nBands).map(j =>
         s"SELECT doc_id, fps, $j AS band_ix, band$j AS band_val FROM sigs").mkString(" UNION ALL ")}),

@@ -103,7 +103,21 @@ object TrainingOps {
       .selectExpr("doc_id",
         s"array_distinct(transform(shingles, s0 -> ${fpSqlSpark("s0")})) AS fps")
 
-  def nBands: Int = config.minhashBands // 2 minhash signatures per band (built inline in SparkEntry)
+  def nBands: Int = config.minhashBands // 2 minhash signatures per band
+
+  /** Band value for LSH band j over a distinct-shingle-fp array column: two
+    * independent minhashes packed into one 64-bit key (each < 10⁹, so
+    * mh1·10⁹⁺⁷ + mh2 is collision-free). Shared by the `q_lsh_near_dup_pairs`
+    * query, its DuckDB oracle (`minhashBandDuck`) and `jobs.DedupJob` — one
+    * definition, three consumers.
+    */
+  def minhashBandSpark(j: Int, fpsCol: String = "fps"): String =
+    s"(array_min(transform($fpsCol, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
+      s" + array_min(transform($fpsCol, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007)))"
+
+  def minhashBandDuck(j: Int, fpsCol: String = "fps"): String =
+    s"(list_min(list_transform($fpsCol, f -> (${4 * j + 1} * f + ${7919 * (2 * j) + 13}) % 1000000007)) * 1000000007" +
+      s" + list_min(list_transform($fpsCol, f -> (${4 * j + 3} * f + ${7919 * (2 * j + 1) + 13}) % 1000000007)))"
 
   // -------- embeddings --------
   /** Cosine with per-vector norms precomputed BEFORE the pair join (each
