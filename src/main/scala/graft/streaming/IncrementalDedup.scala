@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.TrainingOps
+import graft.pipeline.ErPipeline
+
+/** Streaming near-duplicate detection over a `documents(doc_id, text)` stream
+  * — the incremental face of `jobs.DedupJob`, built on the observation that
+  * MinHash band keys ARE blocking keys: a band value is a candidate-retrieval
+  * key exactly like a surname soundex, so the ER pair machinery applies
+  * unchanged.
+  *
+  * Per micro-batch:
+  *  - fingerprint + band the NEW docs (one kernel pass, pinned);
+  *  - new-vs-new candidates = `ErPipeline.pairs` over the batch's band rows
+  *    (salted triangular self-join, capped);
+  *  - new-vs-corpus candidates = `ErPipeline.linkPairs` against the stored
+  *    band table (2-D grid-salted, capped — a hot band bucket in the corpus
+  *    cannot go quadratic against a hot batch);
+  *  - verify with exact shingle-set Jaccard at `jaccardMinMicro`, append
+  *    edges, then grow the corpus band + fingerprint tables (bucketed on
+  *    key / doc_id when `corpusTable` is set, so the per-batch join and
+  *    verify reads leave the corpus in place).
+  *
+  * The union of streamed edges over all batches equals the batch pipeline's
+  * verified candidate set over the same documents (every pair lands in the
+  * later doc's batch — new-vs-new if same batch, new-vs-corpus otherwise);
+  * IncrementalDedupSpec asserts set equality against the batch path.
+  */
+object IncrementalDedup {
+
+  private def banded(docs: DataFrame): DataFrame =
+    TrainingOps.shingleFps(docs.select(col("doc_id"), col("text")))
+      .selectExpr(Seq("doc_id", "fps") ++
+        (0 until TrainingOps.config.minhashBands).map(j =>
+          s"${TrainingOps.minhashBandSpark(j)} AS band$j"): _*)
+
+  private def bandBlocks(b: DataFrame): DataFrame =
+    b.selectExpr("doc_id",
+      s"posexplode(array(${(0 until TrainingOps.config.minhashBands)
+        .map(j => s"band$j").mkString(",")})) AS (bix, bval)")
+      .selectExpr("CAST(doc_id AS STRING) AS doc_id", "concat(bix, ':', bval) AS key")
+
+  def nearDupStream(
+      stream: DataFrame, // streaming (doc_id: bigint, text: string)
+      corpusDir: String,
+      edgesDir: String,
+      checkpointDir: String,
+      corpusTable: Option[String] = None,
+      nBuckets: Int = 8,
+      cfg: TrainingOps.Config = TrainingOps.config): StreamingQuery = {
+
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val newBanded = graft.io.Persist.truncate(banded(batch))
+        if (newBanded.head(1).nonEmpty) {
+          val fpsDir = s"$corpusDir/fps"
+          val blocksDir = s"$corpusDir/bandblocks"
+          val hasCorpus = corpusTable match {
+            case Some(tn) => spark.catalog.tableExists(tn + "_bands")
+            case None     => new java.io.File(s"$fpsDir/_SUCCESS").exists()
+          }
+
+          val newBlocks = bandBlocks(newBanded).as[ErPipeline.BlockRow]
+          val (nnPairs, _) = ErPipeline.pairs(newBlocks, cfg.pairCfg)
+          val candidates =
+            if (!hasCorpus) nnPairs.toDF()
+            else {
+              val oldBlocks = (corpusTable match {
+                case Some(tn) =>
+                  spark.catalog.refreshTable(tn + "_bands")
+                  spark.table(tn + "_bands")
+                case None => spark.read.parquet(blocksDir)
+              }).as[ErPipeline.BlockRow]
+              val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
+              nnPairs.toDF().unionByName(noPairs.toDF())
+            }
+
+          // verify: a-side fps always from the batch pin; b-side from the
+          // batch pin too for new-new ids, else the stored fps table — one
+          // union handles both (the inner join keeps whichever side matches)
+          val storedFps =
+            if (!hasCorpus) newBanded.select($"doc_id", $"fps")
+            else (corpusTable match {
+              case Some(tn) =>
+                spark.catalog.refreshTable(tn + "_fps")
+                spark.table(tn + "_fps")
+              case None => spark.read.parquet(fpsDir)
+            }).unionByName(newBanded.select($"doc_id", $"fps"))
+
+          candidates
+            .select($"a_id".cast("long").as("a_id"), $"b_id".cast("long").as("b_id"))
+            .join(newBanded.select($"doc_id".as("a_id"), $"fps".as("fa")), "a_id")
+            .join(storedFps.select($"doc_id".as("b_id"), $"fps".as("fb")), "b_id")
+            .withColumn("inter", size(array_intersect($"fa", $"fb")).cast("long"))
+            .withColumn("jacc_micro", expr(
+              "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
+            .where($"jacc_micro" >= cfg.jaccardMinMicro)
+            .select(least($"a_id", $"b_id").as("a_id"),
+              greatest($"a_id", $"b_id").as("b_id"), $"jacc_micro")
+            .write.mode("append").parquet(edgesDir)
+
+          // grow the corpus (band rows keyed for linkPairs; fps for verify)
+          corpusTable match {
+            case Some(tn) =>
+              newBlocks.toDF().write.mode("append")
+                .bucketBy(nBuckets, "key").sortBy("key")
+                .option("path", blocksDir).format("parquet").saveAsTable(tn + "_bands")
+              newBanded.select($"doc_id", $"fps").write.mode("append")
+                .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+                .option("path", fpsDir).format("parquet").saveAsTable(tn + "_fps")
+            case None =>
+              newBlocks.toDF().write.mode("append").parquet(blocksDir)
+              newBanded.select($"doc_id", $"fps").write.mode("append").parquet(fpsDir)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -132,7 +132,14 @@ object IncrementalLink {
           val scored =
             if (!hasCorpus) scoredNew
             else {
-              val oldBlocks = spark.read.parquet(blocksDir).as[ErPipeline.BlockRow]
+              val oldBlocks = (corpusTable match {
+                case Some(tn) =>
+                  // blocks bucketed on key: the per-batch linkPairs groupBy
+                  // and key-join read the corpus blocks pre-clustered
+                  spark.catalog.refreshTable(tn + "_blocks")
+                  spark.table(tn + "_blocks")
+                case None => spark.read.parquet(blocksDir)
+              }).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
               val corpus = (corpusTable match {
                 case Some(tn) =>
@@ -161,10 +168,13 @@ object IncrementalLink {
               newRecords.toDF().write.mode("append")
                 .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
                 .option("path", recordsDir).format("parquet").saveAsTable(tn)
+              newBlocks.toDF().write.mode("append")
+                .bucketBy(nBuckets, "key").sortBy("key")
+                .option("path", blocksDir).format("parquet").saveAsTable(tn + "_blocks")
             case None =>
               newRecords.toDF().write.mode("append").parquet(recordsDir)
+              newBlocks.toDF().write.mode("append").parquet(blocksDir)
           }
-          newBlocks.toDF().write.mode("append").parquet(blocksDir)
         }
         ()
       }

@@ -106,6 +106,15 @@ class BucketedCorpusSpec extends SparkSpec {
       val cat = spark.sql("DESCRIBE TABLE EXTENDED graft_stream_corpus")
         .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
       assert(cat.contains("doc_id") && cat.toLowerCase.contains("bucket"), cat)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_stream_corpus")
+      // the corpus BLOCKS table is bucketed on the blocking key as well
+      spark.catalog.refreshTable("graft_stream_corpus_blocks")
+      val catB = spark.sql("DESCRIBE TABLE EXTENDED graft_stream_corpus_blocks")
+        .collect().map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+      assert(catB.contains("key") && catB.toLowerCase.contains("bucket"), catB)
+      assert(spark.table("graft_stream_corpus_blocks").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_stream_corpus")
+      spark.sql("DROP TABLE IF EXISTS graft_stream_corpus_blocks")
+    }
   }
 }

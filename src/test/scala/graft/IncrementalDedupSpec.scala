@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalDedup
+
+/** Streaming near-dup detection must find, over all micro-batches, EXACTLY
+  * the batch pipeline's verified candidate set on the same documents: every
+  * pair surfaces in the later doc's batch (new-vs-new if same batch, else
+  * new-vs-corpus against the stored band table).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+  private def variant(last: String) = base.split(' ').dropRight(1).mkString(" ") + " " + last
+
+  /** Batch oracle: naive band-share candidates + exact Jaccard verify. */
+  private def batchEdges(docs: Seq[(Long, String)]): Set[(Long, Long)] = {
+    import spark.implicits._
+    val banded = TrainingOps.shingleFps(docs.toDF("doc_id", "text"))
+      .selectExpr(Seq("doc_id", "fps") ++
+        (0 until TrainingOps.config.minhashBands).map(j =>
+          s"${TrainingOps.minhashBandSpark(j)} AS band$j"): _*)
+    val rows = banded.selectExpr("doc_id", "fps",
+      s"array(${(0 until TrainingOps.config.minhashBands).map(j => s"band$j").mkString(",")}) AS bands")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Long](2)))
+    (for {
+      (ia, fa, ba) <- rows; (ib, fb, bb) <- rows
+      if ia < ib && ba.indices.exists(k => ba(k) == bb(k))
+      j = fa.intersect(fb).size.toDouble / (fa ++ fb).size
+      if math.floor(j * 1e6 + 0.5).toLong >= TrainingOps.config.jaccardMinMicro
+    } yield (ia, ib)).toSet
+  }
+
+  test("streamed near-dup edges over batches == batch pipeline's verified set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseDir = Files.createTempDirectory("graft-neardup-stream").toString
+
+    val b1 = Seq(1L -> base, 2L -> base, 30L -> (1 to 20).map(i => s"other$i").mkString(" "))
+    val b2 = Seq(10L -> variant("aaa"), 31L -> (1 to 20).map(i => s"unrelated$i").mkString(" "))
+    val b3 = Seq(11L -> variant("bbb"), 3L -> base)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.nearDupStream(
+      mem.toDS().toDF("doc_id", "text"),
+      s"$baseDir/corpus", s"$baseDir/edges", s"$baseDir/ckpt",
+      corpusTable = Some("graft_neardup_corpus"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$baseDir/edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = batchEdges(b1 ++ b2 ++ b3)
+      assert(streamed === expected)
+      // sanity on the planted structure: exact dups 1-2-3 all pair (Jaccard
+      // 1), near variants pair with base, the two 'other' docs pair nothing
+      assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 10L), (1L, 11L), (10L, 11L))
+        .subsetOf(streamed))
+      assert(!streamed.exists(e => e._1 == 30L || e._2 == 30L || e._1 == 31L || e._2 == 31L))
+      // corpus tables are bucketed and grew with every batch
+      spark.catalog.refreshTable("graft_neardup_corpus_fps")
+      assert(spark.table("graft_neardup_corpus_fps").count() === 7L)
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_neardup_corpus_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_neardup_corpus_fps")
+    }
+  }
+}
