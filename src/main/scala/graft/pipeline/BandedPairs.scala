@@ -99,9 +99,12 @@ object BandedPairs {
     // pairs). One narrow shuffle on sig computes rep + group size; pinned
     // once — the intra join, the rep band join, both expansion joins and the
     // stats aggregate all read the materialized (id, sig, rep, g).
+    // an item with NO bands shares nothing with anyone — it must not fall
+    // into a common "" signature group (which would fabricate intra pairs)
     val bySig = Window.partitionBy($"sig")
     val members = graft.io.Persist.truncate(
-      items.select($"id", concat_ws(",", $"bands").as("sig"))
+      items.where(size($"bands") > 0)
+        .select($"id", concat_ws(",", $"bands").as("sig"))
         .withColumn("rep", min($"id").over(bySig))
         .withColumn("g", count(lit(1)).over(bySig)))
 

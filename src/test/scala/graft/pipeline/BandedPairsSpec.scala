@@ -76,6 +76,18 @@ class BandedPairsSpec extends SparkSpec {
     assert(got(p) === naive(tail))
   }
 
+  test("degenerate inputs: empty set, singletons, empty band arrays") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Long])].toDF("id", "bands")
+    assert(BandedPairs.candidates(empty)._1.count() === 0L)
+    // single item, and items with ZERO bands (must not fabricate a "" group)
+    val rows: Seq[(Long, Seq[Long])] =
+      Seq(1L -> Seq(5L), 2L -> Seq.empty[Long], 3L -> Seq.empty[Long], 4L -> Seq(9L))
+    val (p, st) = BandedPairs.candidates(items(rows))
+    assert(got(p) === Set.empty)
+    assert(st.droppedPairsMass === 0.0)
+  }
+
   test("hot band value across DISTINCT signatures is dropped at the band join") {
     // 200 items, all distinct signatures, all sharing band 0 value 5: the
     // contraction cannot help (no exact dups) — the cap must fire on the
