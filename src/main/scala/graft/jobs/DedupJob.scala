@@ -53,11 +53,16 @@ object DedupJob {
     val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
 
     // ① shingle fingerprints (one kernel pass) + exact-group representative:
-    //    identical fp sequences share a group; rep = min doc_id
+    //    identical fp sequences share a group; rep = min doc_id. The window
+    //    keys on md5 of the fp sequence, NOT the concatenated string — the
+    //    shuffle then carries fps + 16 bytes instead of fps + an equally
+    //    large key per row (at corpus scale the key would double the
+    //    exchange). A 128-bit collision wrongly merging two groups needs
+    //    ~2⁻¹²⁸ per pair — ~10⁻¹⁵ cumulative even at 10¹² docs.
     val grouped = m.stage(spark, "grouped") {
       val fps = TrainingOps.shingleFps(documents.select($"doc_id", $"text"))
       fps.withColumn("rep",
-        min($"doc_id").over(Window.partitionBy(concat_ws(",", $"fps"))))
+        min($"doc_id").over(Window.partitionBy(md5(concat_ws(",", $"fps")))))
     }
 
     // ② band keys over representatives only

@@ -70,8 +70,27 @@ object IncrementalDedup {
 
           val newBlocks = bandBlocks(newBanded).as[ErPipeline.BlockRow]
           val (nnPairs, _) = ErPipeline.pairs(newBlocks, cfg.pairCfg)
-          val candidates =
-            if (!hasCorpus) nnPairs.toDF()
+
+          // verify a candidate set against an explicit b-side fps source:
+          // both pair legs of a new-new candidate live in the batch pin;
+          // only the b leg of a new-corpus candidate reads the stored table —
+          // the corpus is never unioned into the probe side (a union would
+          // re-shuffle the accumulated fps arrays every micro-batch and
+          // discard the table's bucketing)
+          def verified(cand: DataFrame, bFps: DataFrame): DataFrame = cand
+            .select($"a_id".cast("long").as("a_id"), $"b_id".cast("long").as("b_id"))
+            .join(newBanded.select($"doc_id".as("a_id"), $"fps".as("fa")), "a_id")
+            .join(bFps.select($"doc_id".as("b_id"), $"fps".as("fb")), "b_id")
+            .withColumn("inter", size(array_intersect($"fa", $"fb")).cast("long"))
+            .withColumn("jacc_micro", expr(
+              "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
+            .where($"jacc_micro" >= cfg.jaccardMinMicro)
+            .select(least($"a_id", $"b_id").as("a_id"),
+              greatest($"a_id", $"b_id").as("b_id"), $"jacc_micro")
+
+          val newEdges = verified(nnPairs.toDF(), newBanded.select($"doc_id", $"fps"))
+          val edges =
+            if (!hasCorpus) newEdges
             else {
               val oldBlocks = (corpusTable match {
                 case Some(tn) =>
@@ -80,32 +99,15 @@ object IncrementalDedup {
                 case None => spark.read.parquet(blocksDir)
               }).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
-              nnPairs.toDF().unionByName(noPairs.toDF())
+              val oldFps = corpusTable match {
+                case Some(tn) =>
+                  spark.catalog.refreshTable(tn + "_fps")
+                  spark.table(tn + "_fps") // doc_id-bucketed: stays in place
+                case None => spark.read.parquet(fpsDir)
+              }
+              newEdges.unionByName(verified(noPairs.toDF(), oldFps))
             }
-
-          // verify: a-side fps always from the batch pin; b-side from the
-          // batch pin too for new-new ids, else the stored fps table — one
-          // union handles both (the inner join keeps whichever side matches)
-          val storedFps =
-            if (!hasCorpus) newBanded.select($"doc_id", $"fps")
-            else (corpusTable match {
-              case Some(tn) =>
-                spark.catalog.refreshTable(tn + "_fps")
-                spark.table(tn + "_fps")
-              case None => spark.read.parquet(fpsDir)
-            }).unionByName(newBanded.select($"doc_id", $"fps"))
-
-          candidates
-            .select($"a_id".cast("long").as("a_id"), $"b_id".cast("long").as("b_id"))
-            .join(newBanded.select($"doc_id".as("a_id"), $"fps".as("fa")), "a_id")
-            .join(storedFps.select($"doc_id".as("b_id"), $"fps".as("fb")), "b_id")
-            .withColumn("inter", size(array_intersect($"fa", $"fb")).cast("long"))
-            .withColumn("jacc_micro", expr(
-              "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
-            .where($"jacc_micro" >= cfg.jaccardMinMicro)
-            .select(least($"a_id", $"b_id").as("a_id"),
-              greatest($"a_id", $"b_id").as("b_id"), $"jacc_micro")
-            .write.mode("append").parquet(edgesDir)
+          edges.write.mode("append").parquet(edgesDir)
 
           // grow the corpus (band rows keyed for linkPairs; fps for verify)
           corpusTable match {
