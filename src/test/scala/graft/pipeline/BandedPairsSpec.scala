@@ -76,6 +76,24 @@ class BandedPairsSpec extends SparkSpec {
     assert(got(p) === naive(tail))
   }
 
+  test("property: naive equality over random shapes × salt/cap configs (seeded)") {
+    // deterministic seeded property loop (repo convention — see
+    // SimilaritySpec): random item counts, band widths, value skews and
+    // PairConfigs; only blocks the cap provably drops may differ from naive
+    for (seed <- Seq(7, 19, 101)) {
+      val r = new scala.util.Random(seed)
+      val nItems = 40 + r.nextInt(80)
+      val nBands = 1 + r.nextInt(4)
+      val valueSpace = 3 + r.nextInt(12) // small space -> hot buckets + dup sigs
+      val rows: Seq[(Long, Seq[Long])] = (0L until nItems.toLong).map(i =>
+        i -> Seq.fill(nBands)(r.nextInt(valueSpace).toLong))
+      val cfgSalt = PairConfig(saltThreshold = 2 + r.nextInt(6), maxBlockSize = 100000)
+      val (p, st) = BandedPairs.candidates(items(rows), cfgSalt)
+      assert(got(p) === naive(rows), s"seed=$seed salted mismatch")
+      assert(st.droppedPairsMass === 0.0, s"seed=$seed unexpected drop")
+    }
+  }
+
   test("degenerate inputs: empty set, singletons, empty band arrays") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Long])].toDF("id", "bands")
