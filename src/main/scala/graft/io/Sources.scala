@@ -97,6 +97,57 @@ object Sources {
     withCleaners(pivoted, cleaners)
   }
 
+  /** SPARQL source (Duke `[D datasources/SparqlDataSource.java]` analog):
+    * execute a SELECT against an HTTP endpoint speaking the W3C
+    * `application/sparql-results+json` protocol and pivot the bindings to
+    * multi-valued records.
+    *
+    *  - **tabular mode** (Duke triple-mode=false): every result variable in
+    *    `variables` is a property; rows group by `idVar`, values collect per
+    *    variable.
+    *  - **triple mode** (Duke's default): the query returns (id, property,
+    *    value) bindings named by `idVar`/`propVar`/`valueVar`; property IRIs
+    *    map to record properties through `variables`.
+    *
+    * Paging mirrors Duke's page-size loop: `LIMIT pageSize OFFSET k` is
+    * appended per page until a short page returns. The HTTP fetch runs on
+    * the DRIVER — a Duke-style SPARQL result set is config/record-shaped,
+    * not corpus-shaped; corpus-scale triple data arrives via `ntriples`
+    * dumps instead (SURVEY.md §2.1). Tested against an in-process loopback
+    * HTTP server (SourcesSpec) — no external endpoint required.
+    */
+  def sparql(
+      spark: SparkSession,
+      endpoint: String,
+      query: String,
+      idVar: String,
+      variables: Map[String, String],
+      tripleMode: Boolean = false,
+      propVar: String = "p",
+      valueVar: String = "o",
+      pageSize: Int = 0,
+      cleaners: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val rows = Sparql.fetchAll(endpoint, query, pageSize)
+    val triples: Seq[(String, String, String)] =
+      if (tripleMode)
+        rows.flatMap(r => for {
+          s <- r.get(idVar); p <- r.get(propVar); o <- r.get(valueVar)
+        } yield (s, p, o))
+      else
+        rows.flatMap(r => r.get(idVar).toSeq.flatMap(s =>
+          variables.keys.flatMap(v => r.get(v).map(o => (s, v, o)))))
+    val keyed = triples.toDF("subject", "key", "object")
+    val aggs = variables.toSeq.sortBy(_._2).map { case (k, name) =>
+      collect_list(when(col("key") === k, col("object"))).as(name)
+    }
+    val pivoted = keyed
+      .where(col("key").isInCollection(variables.keySet))
+      .groupBy(col("subject").as("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    withCleaners(pivoted, cleaners)
+  }
+
   private def withCleaners(df: DataFrame, cleaners: Map[String, Seq[String]]): DataFrame =
     cleaners.foldLeft(df) { case (acc, (column, chain)) =>
       val isArray = df.schema(column).dataType.typeName == "array"
@@ -105,6 +156,51 @@ object Sources {
         else clean_chain(chain, col(column))
       acc.withColumn(column, cleaned)
     }
+}
+
+/** SPARQL protocol plumbing (driver-side, unit-testable): HTTP GET with the
+  * standard `query` parameter + JSON results parsing via the same minimal
+  * JSON parser the config loader uses (graft.model.JsonLite).
+  */
+private[io] object Sparql {
+
+  /** One page: GET endpoint?query=<urlencoded> with the results+json Accept
+    * header; returns the bindings as var->lexical-value maps (the `value`
+    * field of each W3C binding object — IRIs and literals keep their lexical
+    * form, matching the NTriples reader's treatment).
+    */
+  def fetch(endpoint: String, query: String): Seq[Map[String, String]] = {
+    val url = endpoint + (if (endpoint.contains("?")) "&" else "?") +
+      "query=" + java.net.URLEncoder.encode(query, "UTF-8")
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Accept", "application/sparql-results+json")
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"sparql endpoint returned ${resp.statusCode()}")
+    parseResults(resp.body())
+  }
+
+  /** Duke-style paging: append `LIMIT pageSize OFFSET k`; stop on a short
+    * page. pageSize <= 0 = single unpaged request.
+    */
+  def fetchAll(endpoint: String, query: String, pageSize: Int): Seq[Map[String, String]] =
+    if (pageSize <= 0) fetch(endpoint, query)
+    else Iterator.from(0)
+      .map(p => fetch(endpoint, s"$query LIMIT $pageSize OFFSET ${p.toLong * pageSize}"))
+      .takeWhile(_.nonEmpty)
+      .foldLeft(Vector.empty[Map[String, String]]) { (acc, page) => acc ++ page }
+
+  def parseResults(json: String): Seq[Map[String, String]] = {
+    val root = graft.model.JsonLite.parse(json)._1.asInstanceOf[Map[String, Any]]
+    val results = root.getOrElse("results", Map.empty).asInstanceOf[Map[String, Any]]
+    val bindings = results.getOrElse("bindings", Nil).asInstanceOf[List[Any]]
+    bindings.map { b =>
+      b.asInstanceOf[Map[String, Any]].map { case (v, cell) =>
+        v -> cell.asInstanceOf[Map[String, Any]].getOrElse("value", "").toString
+      }
+    }
+  }
 }
 
 /** Pure N-Triples line parser (unit-testable without a session). Supports the

@@ -85,7 +85,7 @@ object MatchConfig {
 /** Minimal JSON reader for MatchConfig (offline sandbox: no JSON library on the
   * compile classpath beyond Spark's internals — keep the config path dependency-free).
   */
-private[model] object JsonLite {
+private[graft] object JsonLite {
   def parseConfig(json: String): MatchConfig = {
     val v = parse(json)._1.asInstanceOf[Map[String, Any]]
     def d(x: Any): Double = x.asInstanceOf[Double]
@@ -144,7 +144,7 @@ private[model] object JsonLite {
   /** Returns (value, rest-index). Supports objects, arrays, strings, numbers,
     * booleans, null.
     */
-  private def parse(s: String, from: Int = 0): (Any, Int) = {
+  private[graft] def parse(s: String, from: Int = 0): (Any, Int) = {
     var i = skipWs(s, from)
     s.charAt(i) match {
       case '{' =>

@@ -95,4 +95,71 @@ class SourcesSpec extends SparkSpec {
       catch { case _: java.sql.SQLException => } // drop always "fails" with 08006
     }
   }
+
+  test("sparql source: loopback endpoint, tabular + triple mode, paging, cleaners") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+    def cell(v: String) = s"""{"type":"literal","value":"$v"}"""
+    def body(rows: String*) =
+      s"""{"head":{"vars":["id","name","phone","p","o"]},
+         |"results":{"bindings":[${rows.mkString(",")}]}}""".stripMargin
+
+    val tabularRows = Seq(
+      s"""{"id":${cell("http://ex.org/p1")},"name":${cell(" Lars  HOLM ")},"phone":${cell("(47) 22-11-33")}}""",
+      s"""{"id":${cell("http://ex.org/p1")},"name":${cell("L. Holm")}}""",
+      s"""{"id":${cell("http://ex.org/p2")},"name":${cell("Kari Berg")},"phone":${cell("555 1234")}}""")
+    val triplePages = Seq(
+      Seq(
+        s"""{"id":${cell("a")},"p":${cell("name")},"o":${cell("ANNA")}}""",
+        s"""{"id":${cell("a")},"p":${cell("phone")},"o":${cell("111-22")}}"""),
+      Seq(s"""{"id":${cell("b")},"p":${cell("name")},"o":${cell("BO")}}"""),
+      Seq())
+
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seenQueries = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    server.createContext("/sparql", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val q = java.net.URLDecoder.decode(
+          x.getRequestURI.getRawQuery.stripPrefix("query="), "UTF-8")
+        seenQueries.add(q)
+        val resp =
+          if (!q.contains("LIMIT")) body(tabularRows: _*)
+          else {
+            val off = q.split("OFFSET ")(1).trim.toInt
+            body(triplePages.lift(off / 2).getOrElse(Seq()): _*)
+          }
+        val bytes = resp.getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/sparql-results+json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    server.start()
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+    try {
+      // tabular: variables are properties; multi-valued collect per subject
+      val tab = Sources.sparql(spark, ep, "SELECT ?id ?name ?phone WHERE {...}",
+        idVar = "id",
+        variables = Map("name" -> "name", "phone" -> "phone"),
+        cleaners = Map("name" -> Seq("trim", "lowercase-normalize"),
+          "phone" -> Seq("digits-only")))
+      val rows = tab.collect().map { r =>
+        r.getString(0) -> ((r.getSeq[String](1).toSet, r.getSeq[String](2).toSet))
+      }.toMap
+      assert(rows("http://ex.org/p1") === ((Set("lars holm", "l holm"), Set("47221133"))))
+      assert(rows("http://ex.org/p2") === ((Set("kari berg"), Set("5551234"))))
+
+      // triple mode with Duke-style paging (LIMIT 2 OFFSET 0/2/4)
+      val tri = Sources.sparql(spark, ep, "SELECT ?id ?p ?o WHERE {...}",
+        idVar = "id", variables = Map("name" -> "nm", "phone" -> "ph"),
+        tripleMode = true, pageSize = 2)
+      val triRows = tri.collect().map { r =>
+        r.getString(0) -> ((r.getSeq[String](1).toSet, r.getSeq[String](2).toSet))
+      }.toMap
+      assert(triRows === Map(
+        "a" -> ((Set("ANNA"), Set("111-22"))),
+        "b" -> ((Set("BO"), Set.empty[String]))))
+      assert(seenQueries.toArray.count(_.toString.contains("LIMIT")) === 3) // 2 pages + empty stop
+    } finally server.stop(0)
+  }
 }
