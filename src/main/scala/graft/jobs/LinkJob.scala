@@ -25,12 +25,21 @@ object LinkJob {
       matches: Long, maybes: Long, clusters: Long,
       droppedBlocks: Long, saltedBlocks: Long)
 
+  /** @param overrides Duke LinkDatabase analog (`[D Link.java, LinkDatabase
+    *                   .java]`, SURVEY §2.1 S7): human link decisions that
+    *                   override inference — rows (a_id, b_id, status) with
+    *                   status `verified` (forced edge, Duke ASSERTED/OWNSAME)
+    *                   or `retracted` (edge suppressed even above threshold,
+    *                   Duke RETRACTED/DIFFERENT). Applied at the edges stage,
+    *                   so clustering and resume see the overridden graph.
+    */
   def run(
       spark: SparkSession,
       docs: Dataset[Doc],
       config: MatchConfig,
       outDir: String,
-      pairCfg: ErPipeline.PairConfig = ErPipeline.PairConfig()): Summary = {
+      pairCfg: ErPipeline.PairConfig = ErPipeline.PairConfig(),
+      overrides: Option[DataFrame] = None): Summary = {
     import spark.implicits._
     val m = new StageManifest(outDir)
     val metrics = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
@@ -72,7 +81,23 @@ object LinkJob {
       ErPipeline.classify(scored, config)
     }
     val edges = m.stage(spark, "edges") {
-      classified.where($"bucket" === "match").select($"a_id", $"b_id")
+      val inferred = classified.where($"bucket" === "match").select($"a_id", $"b_id")
+      overrides match {
+        case None => inferred
+        case Some(ov) =>
+          // normalize override orientation once; verified edges join the
+          // graph even if never scored, retracted pairs leave it even above
+          // threshold (human decisions outrank the model — Duke LinkDatabase)
+          val norm = ov.select(
+            least($"a_id", $"b_id").as("a_id"),
+            greatest($"a_id", $"b_id").as("b_id"),
+            lower($"status").as("status")).cache()
+          val verified = norm.where($"status" === "verified").select($"a_id", $"b_id")
+          val retracted = norm.where($"status" === "retracted").select($"a_id", $"b_id")
+          inferred.unionByName(verified).distinct()
+            .join(retracted.withColumn("__r", lit(true)), Seq("a_id", "b_id"), "left")
+            .where($"__r".isNull).select($"a_id", $"b_id")
+      }
     }
 
     // ⑥ connected components with per-iteration parquet checkpoints:
