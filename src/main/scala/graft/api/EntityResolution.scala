@@ -36,28 +36,55 @@ object EntityResolution {
       candidates: DataFrame,
       query: Map[String, Seq[String]],
       config: MatchConfig): DataFrame = {
-    val present = candidates.columns.toSet
-    val missing = lit(null).cast("array<string>")
-    val kids: Seq[Column] = config.properties.flatMap { spec =>
-      val qv = query.getOrElse(spec.name, Nil)
-        .filter(v => v != null && v.nonEmpty)
-        .map(v => Cleaners.chain(spec.cleaners, v))
-        .filter(v => v != null && v.nonEmpty)
-      val qCol = if (qv.isEmpty) missing else array(qv.map(lit): _*)
-      val cCol =
-        if (!present.contains(spec.name)) missing
-        else {
-          val raw = candidates.schema(spec.name).dataType.typeName match {
-            case "array" => col(spec.name)
-            case _       => array(col(spec.name))
-          }
-          filter(transform(raw, v => clean_chain(spec.cleaners, v)),
-            v => v.isNotNull && v =!= "")
-        }
-      Seq(qCol, cCol)
-    }
+    val kids = config.properties.flatMap(propKids(candidates, query, _))
     val scoreCol = graftshim.column(DukeScoreExpr(kids.map(graftshim.expression), config))
     candidates.withColumn("score", scoreCol)
+  }
+
+  /** (query values, candidate values) column pair for one property: query
+    * side cleaned once on the driver, candidate side declaratively per row.
+    */
+  private def propKids(
+      candidates: DataFrame,
+      query: Map[String, Seq[String]],
+      spec: graft.model.PropertySpec): Seq[Column] = {
+    val missing = lit(null).cast("array<string>")
+    val qv = query.getOrElse(spec.name, Nil)
+      .filter(v => v != null && v.nonEmpty)
+      .map(v => Cleaners.chain(spec.cleaners, v))
+      .filter(v => v != null && v.nonEmpty)
+    val qCol = if (qv.isEmpty) missing else array(qv.map(lit): _*)
+    val cCol =
+      if (!candidates.columns.contains(spec.name)) missing
+      else {
+        val raw = candidates.schema(spec.name).dataType.typeName match {
+          case "array" => col(spec.name)
+          case _       => array(col(spec.name))
+        }
+        filter(transform(raw, v => clean_chain(spec.cleaners, v)),
+          v => v.isNotNull && v =!= "")
+      }
+    Seq(qCol, cCol)
+  }
+
+  /** Score explanation — the plugin's ES-explain / Duke per-property debug
+    * face: beside `score`, an `explain` map property -> probability factor.
+    * A single-property Duke fold from the 0.5 prior returns exactly that
+    * property's probability (bayes(0.5, p) = p), so each factor reuses the
+    * fused kernel verbatim; missing evidence reads 0.5 (Duke: no evidence
+    * moves nothing). Bayes-folding the factors in config order reproduces
+    * `score` bit-for-bit (spec-asserted).
+    */
+  def explained(
+      candidates: DataFrame,
+      query: Map[String, Seq[String]],
+      config: MatchConfig): DataFrame = {
+    val entries = config.properties.flatMap { spec =>
+      val kids = propKids(candidates, query, spec)
+      Seq(lit(spec.name), graftshim.column(
+        DukeScoreExpr(kids.map(graftshim.expression), config.copy(properties = Seq(spec)))))
+    }
+    scored(candidates, query, config).withColumn("explain", map(entries: _*))
   }
 
   /** Scored search: predicate (the "ES query") -> score -> global top-k —

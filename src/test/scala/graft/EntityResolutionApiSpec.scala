@@ -110,4 +110,36 @@ class EntityResolutionApiSpec extends SparkSpec {
     assert(hits.count() === 5)
     assert(hits.collect().forall(_.getAs[Double]("score") === 0.95))
   }
+
+  test("explained: per-property factors match hand math and fold back to score") {
+    import spark.implicits._
+    val cfg2 = MatchConfig(
+      threshold = 0.9, maybeThreshold = 0.65,
+      properties = Seq(
+        PropertySpec("city", Seq("trim", "lowercase-normalize"), "levenshtein", 0.1, 0.95),
+        PropertySpec("phone", Seq("digits-only"), "exact", 0.05, 0.98)))
+    val corpus = Seq(
+      ("d1", "South", "555-123"),
+      ("d2", "Sooth", "999 000"),
+      ("d3", "North", null)) // missing phone -> factor 0.5 (no evidence)
+      .toDF("doc_id", "city", "phone")
+
+    val rows = EntityResolution.explained(
+      corpus, Map("city" -> Seq("South"), "phone" -> Seq("555123")), cfg2)
+      .select("doc_id", "score", "explain").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getMap[String, Double](2).toMap))).toMap
+
+    def pCity(sim: Double) = if (sim >= 0.5) 0.45 * sim * sim + 0.5 else 0.1
+    def bayes(a: Double, b: Double) = a * b / (a * b + (1 - a) * (1 - b))
+    assert(math.abs(rows("d1")._2("city") - pCity(1.0)) < eps)
+    assert(math.abs(rows("d1")._2("phone") - 0.98) < eps)
+    assert(math.abs(rows("d2")._2("city") - pCity(0.8)) < eps)
+    assert(math.abs(rows("d2")._2("phone") - 0.05) < eps)
+    assert(math.abs(rows("d3")._2("phone") - 0.5) < eps) // missing -> prior
+    // folding the factors in config order reproduces the score exactly
+    rows.values.foreach { case (score, ex) =>
+      val folded = bayes(bayes(0.5, ex("city")), ex("phone"))
+      assert(math.abs(folded - score) < eps, s"$folded vs $score")
+    }
+  }
 }
