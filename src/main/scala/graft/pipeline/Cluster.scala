@@ -79,6 +79,59 @@ object Cluster {
       .select($"n".as("doc_id"), least($"n", $"mp").as("cluster_id"))
   }
 
+  /** Incremental label maintenance — fold a batch of NEW edges into an
+    * existing labeling at cost proportional to the DELTA, never the corpus
+    * (the streaming counterpart of `connectedComponents`; per-batch full
+    * recomputes are the scale mistake once the accumulated edge set dwarfs
+    * each micro-batch):
+    *
+    *  1. map each new edge's endpoints through the current labels (unknown
+    *     endpoints are fresh singletons labeled by their own id);
+    *  2. run CC on the CONTRACTED graph — one node per affected cluster, so
+    *     the iterative stage sees |affected clusters| nodes, not |corpus|;
+    *  3. broadcast-size relabel map joins back: docs in untouched clusters
+    *     keep their label without moving.
+    *
+    * Labels stay canonical (cluster id = min member id): old labels are
+    * cluster minima, new nodes enter labeled by themselves, and the
+    * contracted CC takes the minimum of the merged label set. Result equals
+    * a from-scratch CC over (all previous edges ∪ batch) — IncrementalCcSpec
+    * proves equality on randomized multi-round streams.
+    *
+    * @param labels (doc_id, cluster_id); docs absent from it are treated as
+    *               singletons (LinkJob's convention)
+    * @return the updated complete labeling, including the batch's new docs
+    */
+  def mergeEdges(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+
+    val lab = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("lab"))
+    val e = newEdges.select(col(newEdges.columns(0)).as("ea"), col(newEdges.columns(1)).as("eb"))
+
+    // ① endpoint -> current label (own id when unseen)
+    val ends = e.select($"ea".as("id")).union(e.select($"eb".as("id"))).distinct()
+    val endLab = ends.join(lab, Seq("id"), "left")
+      .select($"id", coalesce($"lab", $"id").as("lab"))
+    val contracted = e
+      .join(endLab.select($"id".as("ea"), $"lab".as("la")), "ea")
+      .join(endLab.select($"id".as("eb"), $"lab".as("lb")), "eb")
+      .select($"la", $"lb").where($"la" =!= $"lb").distinct()
+
+    // ② CC over affected cluster labels only (tiny vs the corpus)
+    val relabel = connectedComponents(contracted)
+      .select(col("doc_id").as("lab"), col("cluster_id").as("new_lab"))
+
+    // ③ relabel old docs (untouched clusters miss the join and keep labels);
+    //    new docs enter with their (possibly relabeled) own id
+    val newDocs = endLab.join(lab.select($"id"), Seq("id"), "left_anti")
+    val updatedOld = lab.join(relabel, Seq("lab"), "left")
+      .select($"id".as("doc_id"), coalesce($"new_lab", $"lab").as("cluster_id"))
+    val addedNew = newDocs.join(relabel, Seq("lab"), "left")
+      .select($"id".as("doc_id"), coalesce($"new_lab", $"lab").as("cluster_id"))
+    updatedOld.unionByName(addedNew)
+  }
+
   /** Partition-local union-find contraction: within each partition, replace
     * the local edges by the star forest (local-min root -> node). Exactly
     * connectivity-preserving; output edges satisfy a < b because the root is
