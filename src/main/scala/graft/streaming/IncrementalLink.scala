@@ -95,6 +95,15 @@ object IncrementalLink {
     * linkPairs against stored blocks) — never a re-block or re-scan of the
     * whole corpus' pair space.
     */
+  /** @param clustersDir when set, a complete (doc_id, cluster_id) labeling is
+    *                     maintained under this path across micro-batches via
+    *                     `Cluster.mergeEdges` — each batch's match edges fold
+    *                     into the existing labels at DELTA cost (contracted
+    *                     CC over affected clusters only), instead of a
+    *                     corpus-wide CC recompute per batch. Labels equal the
+    *                     batch pipeline's CC over all edges so far
+    *                     (BucketedCorpusSpec).
+    */
   def linkStream(
       stream: Dataset[Doc],
       config: MatchConfig,
@@ -102,7 +111,8 @@ object IncrementalLink {
       edgesDir: String,
       checkpointDir: String,
       corpusTable: Option[String] = None,
-      nBuckets: Int = 8): StreamingQuery = {
+      nBuckets: Int = 8,
+      clustersDir: Option[String] = None): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -156,10 +166,36 @@ object IncrementalLink {
             }
           // linkPairs keeps (new, old) orientation; normalize to (min, max)
           // so streamed edges equal the batch pipeline's bit-for-bit
-          ErPipeline.matchEdges(scored, config)
+          val batchEdges = ErPipeline.matchEdges(scored, config)
             .select(least(col("a_id"), col("b_id")).as("a_id"),
               greatest(col("a_id"), col("b_id")).as("b_id"))
-            .write.mode("append").parquet(edgesDir)
+            .localCheckpoint(true)
+          batchEdges.write.mode("append").parquet(edgesDir)
+
+          // incremental transitive clusters: fold this batch's edges into the
+          // standing labels (delta-cost mergeEdges), add the batch's
+          // edge-free docs as singletons, commit through the Iceberg-layout
+          // table — atomic snapshot-pointer swap, and every batch's labeling
+          // stays time-travelable by snapshot id (cluster-evolution lineage)
+          clustersDir.foreach { dir =>
+            val tbl = new graft.io.PartitionedParquetTable(dir)
+            val merged = tbl.currentSnapshot match {
+              case None    => graft.pipeline.Cluster.mergeEdges(
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("doc_id",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("cluster_id",
+                      org.apache.spark.sql.types.StringType)))),
+                batchEdges)
+              case Some(_) => graft.pipeline.Cluster.mergeEdges(tbl.read(spark), batchEdges)
+            }
+            val singletons = newRecords.toDF().select(col("doc_id"))
+              .join(merged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .select(col("doc_id"), col("doc_id").as("cluster_id"))
+            tbl.overwrite(merged.unionByName(singletons))
+          }
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later
           // batch's score join leaves the accumulated records in place

@@ -80,7 +80,8 @@ class BucketedCorpusSpec extends SparkSpec {
       val mem = MemoryStream[Doc]
       val q = IncrementalLink.linkStream(
         mem.toDS(), MatchConfig.fixture,
-        s"$base/corpus", s"$base/edges", s"$base/ckpt", corpusTable = table)
+        s"$base/corpus", s"$base/edges", s"$base/ckpt", corpusTable = table,
+        clustersDir = Some(s"$base/clusters"))
       try {
         mem.addData(doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"))
         q.processAllAvailable()
@@ -98,6 +99,21 @@ class BucketedCorpusSpec extends SparkSpec {
       val parquetEdges = run(baseP, None)
       assert(bucketedEdges === parquetEdges && bucketedEdges.nonEmpty)
       assert(bucketedEdges.contains(("d1", "d2")))
+      // incrementally maintained clusters == full CC over all edges, with
+      // edge-free docs as singletons; every batch's labeling is
+      // time-travelable through the snapshot table
+      val ctbl = new graft.io.PartitionedParquetTable(s"$baseB/clusters")
+      assert(ctbl.currentSnapshot === Some(3L)) // one snapshot per batch
+      val got = ctbl.read(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val full = graft.pipeline.Cluster.connectedComponents(
+        spark.read.parquet(s"$baseB/edges"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val allDocs = Set("d1", "d2", "d3", "x1", "x2")
+      val want = allDocs.map(d => d -> full.getOrElse(d, d)).toMap
+      assert(got === want)
+      assert(ctbl.readSnapshot(spark, 1L).count() === 2L) // batch-1 labeling kept
+
       // the table really is bucketed and accumulated across batches
       // (refresh: the catalog's cached file listing predates the last append)
       spark.catalog.refreshTable("graft_stream_corpus")
