@@ -29,6 +29,13 @@ object SparkEntry {
   private def micro(c: Column): Column = floor(c * 1e6 + 0.5).cast("long")
   private val microSql = (e: String) => s"CAST(FLOOR(($e) * 1e6 + 0.5) AS BIGINT)"
 
+  /** Micro-rounded cosine over pre-computed norms, via the codegen vec_dot
+    * kernel — bit-identical to the interpreted cosStagedSpark HOF twin
+    * (VecKernelsSpec parity; identical Divide/Multiply/Add tree after it).
+    */
+  private def cosMicro(qv: String, cv: String, qn: String, cn: String): Column =
+    floor(vec_dot(col(qv), col(cv)) / (col(qn) * col(cn)) * lit(1e6) + lit(0.5)).cast("long")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -833,14 +840,13 @@ object SparkEntry {
     "q_embed_cosine_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding", s"${normSpark("embedding")} AS nrm")
+        .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
       val q = e.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
       q.crossJoin(c).where(col("qid") =!= col("cid"))
-        .withColumn("cos_micro",
-          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv", "qn", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro", cosMicro("qv", "cv", "qn", "cn"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
@@ -854,10 +860,10 @@ object SparkEntry {
       */
     "q_embed_ann_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val bandExprs = (0 until annBands).map(bn =>
-        s"CAST(${lshBandSpark("embedding", bn, annPlanesPerBand)} AS BIGINT) AS band$bn")
-      val e = t(s, dir, "embeddings")
-        .selectExpr(Seq("vec_id", "embedding", s"${normSpark("embedding")} AS nrm") ++ bandExprs: _*)
+      val e = t(s, dir, "embeddings").select(
+        Seq(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm")) ++
+          (0 until annBands).map(bn =>
+            sign_lsh_bucket(col("embedding"), bn, annPlanesPerBand).as(s"band$bn")): _*)
       val bandArr = s"array(${(0 until annBands).map(bn => s"band$bn").mkString(",")})"
       val buckets = e.selectExpr("vec_id", s"posexplode($bandArr) AS (band_ix, bucket)")
       val cand = buckets.where(col("vec_id") < 8).select(col("vec_id").as("qid"), col("band_ix"), col("bucket"))
@@ -870,8 +876,7 @@ object SparkEntry {
       cand
         .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn")), "qid")
         .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn")), "cid")
-        .withColumn("cos_micro",
-          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv", "qn", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro", cosMicro("qv", "cv", "qn", "cn"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
@@ -888,12 +893,11 @@ object SparkEntry {
     "q_embed_ann_ivf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding", s"${normSpark("embedding")} AS nrm")
+        .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
       val cents = e.where(col("vec_id") < config.ivfCentroids)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
       val affinities = e.join(broadcast(cents))
-        .withColumn("cos_micro",
-          expr(s"CAST(FLOOR((${cosStagedSpark("embedding", "cv", "nrm", "cn")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro", cosMicro("embedding", "cv", "nrm", "cn"))
         .select(col("vec_id"), col("cent_id"), col("cos_micro"))
       val aw = Window.partitionBy(col("vec_id")).orderBy(col("cos_micro").desc, col("cent_id"))
       val ranked = affinities.withColumn("crk", row_number().over(aw))
@@ -907,8 +911,7 @@ object SparkEntry {
       cand
         .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn")), "qid")
         .join(e.select(col("vec_id").as("cid"), col("embedding").as("cv2"), col("nrm").as("cn2")), "cid")
-        .withColumn("cos_micro",
-          expr(s"CAST(FLOOR((${cosStagedSpark("qv", "cv2", "qn", "cn2")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro", cosMicro("qv", "cv2", "qn", "cn2"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("qid"), col("cid"), col("rk").cast("long"), col("cos_micro"))
@@ -919,9 +922,9 @@ object SparkEntry {
       */
     "q_embed_near_dup" -> ((s, dir) => {
       val e = graft.io.Persist.truncate(t(s, dir, "embeddings")
-        .selectExpr("vec_id", "embedding",
-          s"CAST(${lshBucketSpark("embedding", config.nearDupPlanes)} AS BIGINT) AS bucket",
-          s"${normSpark("embedding")} AS nrm"))
+        .select(col("vec_id"), col("embedding"),
+          sign_lsh_bucket(col("embedding"), 0, config.nearDupPlanes).as("bucket"),
+          vec_norm(col("embedding")).as("nrm")))
       // single-band bucket scheme -> same salted/capped discipline (a hot
       // bucket of near-identical embeddings is the dup-heavy case here)
       val cand = graft.pipeline.BandedPairs.candidatePairs(
@@ -929,8 +932,7 @@ object SparkEntry {
       cand
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")), "b_id")
-        .withColumn("cos_micro",
-          expr(s"CAST(FLOOR((${cosStagedSpark("va", "vb", "na", "nb")}) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("cos_micro", cosMicro("va", "vb", "na", "nb"))
         .where(col("cos_micro") >= config.cosineMinMicro)
         .select(col("a_id"), col("b_id"), col("cos_micro"))
     }),

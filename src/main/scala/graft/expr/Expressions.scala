@@ -180,6 +180,79 @@ case class Simhash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Simhash64Expr = copy(child = c)
 }
 
+/** Float-vector dot product in one codegen loop — the similarity-search hot
+  * path twin of `TrainingOps.dotSpark` (interpreted aggregate-over-zip_with:
+  * one boxed lambda call per element per pair). Bit-identical accumulation
+  * (VecKernelsSpec parity; oracles unchanged).
+  */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private val floatArray =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+  override def inputTypes: Seq[graftshim.AbstractDT] = Seq(floatArray, floatArray)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.VecKernels.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.core.VecKernels.dot($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotExpr =
+    copy(left = l, right = r)
+}
+
+/** sqrt(v·v) — `TrainingOps.normSpark` twin. */
+case class VecNormExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.VecKernels.norm(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.VecKernels.norm($c.toFloatArray())")
+
+  override protected def withNewChildInternal(c: Expression): VecNormExpr = copy(child = c)
+}
+
+/** Sign-LSH bucket of one band (deterministic integer hyperplanes) — the
+  * `TrainingOps.lshBandSpark`/`lshBucketSpark` twin: planesPerBand
+  * interpreted plane-dot aggregates collapse into one loop per vector.
+  */
+case class SignLshExpr(child: Expression, band: Int, planesPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[graftshim.AbstractDT] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.VecKernels.signLshBucket(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray(),
+      band, planesPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.core.VecKernels.signLshBucket($c.toFloatArray(), $band, $planesPerBand)")
+
+  override protected def withNewChildInternal(c: Expression): SignLshExpr = copy(child = c)
+}
+
 /** Phonetic-code expressions (soundex exists as a Spark builtin; metaphone and
   * norphone do not — SURVEY.md §2.4 K11).
   */

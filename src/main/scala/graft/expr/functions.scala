@@ -80,6 +80,10 @@ object functions {
     cleaners.foldLeft(c)((acc, n) => clean(n, acc))
 
   // -------- text-dedup kernels --------
+  def vec_dot(a: Column, b: Column): Column = col2(VecDotExpr(x(a), x(b)))
+  def vec_norm(c: Column): Column = col2(VecNormExpr(x(c)))
+  def sign_lsh_bucket(c: Column, band: Int, planesPerBand: Int): Column =
+    col2(SignLshExpr(x(c), band, planesPerBand))
   def rolling_fp(c: Column): Column = col2(RollingFpExpr(x(c)))
   def shingle_fps(c: Column, k: Int = 3): Column = col2(TokenShingleFpsExpr(x(c), k))
   def simhash64(c: Column): Column = col2(Simhash64Expr(x(c)))
