@@ -208,7 +208,14 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
       val a = ranked.select(col("o_custkey"), col("o_orderkey").as("a"), col("rn"))
       val b = ranked.select(col("o_custkey"), col("o_orderkey").as("b"), (col("rn") - 1).as("rn"))
-      val edges = a.join(b, Seq("o_custkey", "rn")).select(col("a"), col("b"))
+      // co-locate each chain before CC: the join partitions by (custkey, rn),
+      // scattering one customer's chain edges across partitions, where the
+      // partition-local union-find pre-contraction cannot collapse them; one
+      // repartition on the blocking key turns every chain into a single-pass
+      // local star and the global star loop converges immediately (the
+      // query KNOWS its component key — generic CC cannot)
+      val edges = a.join(b, Seq("o_custkey", "rn"))
+        .repartition(col("o_custkey")).select(col("a"), col("b"))
       Cluster.connectedComponents(edges)
         .select(col("doc_id").as("o_orderkey"), col("cluster_id"))
     }),

@@ -40,28 +40,45 @@ object IncrementalLink {
   }
 
   /** Stateful exact dedup: state = first doc_id seen per fingerprint; later
-    * arrivals emit `duplicate_of = Some(first)`. ProcessingTimeTimeout keeps
-    * state bounded in production (drop keys idle past the horizon).
+    * arrivals emit `duplicate_of = Some(first)`.
+    *
+    * @param idleTimeout when set, fingerprint state idle past this horizon is
+    *                    evicted (ProcessingTimeTimeout) so the store is
+    *                    bounded by the ACTIVE fingerprint set, not stream
+    *                    history — the standard trade for unbounded streams: a
+    *                    duplicate arriving after the horizon re-registers as
+    *                    first-seen. None (default) keeps exact global dedup.
     */
-  def dedupStream(docs: Dataset[Doc]): Dataset[DedupDecision] = {
+  def dedupStream(
+      docs: Dataset[Doc],
+      idleTimeout: Option[scala.concurrent.duration.Duration] = None): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
+    val timeoutConf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     docs.map(d => (fingerprint(d), d.doc_id))
       .groupByKey(_._1)
       .flatMapGroupsWithState[String, DedupDecision](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (fp, rows, state: GroupState[String]) =>
-          val sorted = rows.map(_._2).toSeq.sorted // deterministic within batch
-          var first = state.getOption
-          val out = sorted.map { id =>
-            first match {
-              case None =>
-                first = Some(id); state.update(id)
-                DedupDecision(id, fp, None)
-              case Some(f) =>
-                DedupDecision(id, fp, Some(f))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted // deterministic within batch
+            var first = state.getOption
+            val out = sorted.map { id =>
+              first match {
+                case None =>
+                  first = Some(id); state.update(id)
+                  DedupDecision(id, fp, None)
+                case Some(f) =>
+                  DedupDecision(id, fp, Some(f))
+              }
             }
+            idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
+            out.iterator
           }
-          out.iterator
       }
   }
 

@@ -41,6 +41,40 @@ class StreamingMediaSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream with idle timeout: within the horizon, identical to exact dedup") {
+    // a wall-clock eviction test is inherently racy (processing-time timeouts
+    // fire on the trigger clock); this exercises the ProcessingTimeTimeout
+    // wiring — setTimeoutDuration throws unless the timeout conf is set — and
+    // pins that decisions inside the horizon equal the exact path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+    val mem = MemoryStream[Doc]
+    val out = IncrementalLink.dedupStream(mem.toDS(), idleTimeout = Some(10.minutes))
+    val q = out.writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("append").start()
+    // processAllAvailable never settles while timeouts are armed (the engine
+    // keeps scheduling deadline-check batches — normal under
+    // awaitTermination, fatal for the test helper): poll the sink instead
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("dedup_ttl_out").count() < n) {
+        assert(System.nanoTime() < deadline, s"sink never reached $n rows")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      mem.addData(doc("t1", "john smith", "555"), doc("t2", "john smith", "555"))
+      awaitRows(2)
+      mem.addData(doc("t3", "john smith", "555"), doc("u1", "other person", "111"))
+      awaitRows(4)
+      val rows = spark.table("dedup_ttl_out").collect()
+        .map(r => r.getString(0) -> Option(r.getAs[String]("duplicate_of"))).toMap
+      assert(rows === Map(
+        "t1" -> None, "t2" -> Some("t1"), "t3" -> Some("t1"), "u1" -> None))
+    } finally q.stop()
+  }
+
   test("bucketCountsByWindow: watermarked windowed agg finalizes windows, drops late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
