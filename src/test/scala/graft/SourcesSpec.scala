@@ -162,4 +162,36 @@ class SourcesSpec extends SparkSpec {
       assert(seenQueries.toArray.count(_.toString.contains("LIMIT")) === 3) // 2 pages + empty stop
     } finally server.stop(0)
   }
+
+  test("JDBC link store: links round-trip; verdicts feed LinkJob overrides") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftlinks;create=true"
+    try {
+      val classified = Seq(
+        ("d2", "d1", "match", 0.97),
+        ("d3", "d4", "maybe", 0.72),
+        ("d5", "d6", "no-match", 0.2)).toDF("a_id", "b_id", "bucket", "score")
+      val links = graft.io.Links.toLinks(classified, runTs = 1723939200000L)
+      graft.io.Links.writeJdbc(links, url, "links")
+      val back = graft.io.Links.readJdbc(spark, url, "LINKS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+      // no-match absent; pair orientation normalized to (min, max)
+      assert(back === Set(("d1", "d2", "match", 0.97), ("d3", "d4", "maybe", 0.72)))
+
+      // review tooling writes verdicts; they come back as LinkJob overrides
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.execute("CREATE TABLE verdicts (a_id VARCHAR(32), b_id VARCHAR(32), status VARCHAR(16))")
+        st.execute("INSERT INTO verdicts VALUES ('d3', 'd4', 'VERIFIED'), ('d1', 'd2', 'retracted')")
+        st.close()
+      } finally conn.close()
+      val ov = graft.io.Links.readOverrides(spark, url, "verdicts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(ov === Set(("d3", "d4", "VERIFIED"), ("d1", "d2", "retracted")))
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftlinks;drop=true")
+      catch { case _: java.sql.SQLException => }
+    }
+  }
 }
