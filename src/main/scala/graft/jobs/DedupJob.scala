@@ -112,14 +112,25 @@ object DedupJob {
           ($"doc_id" === coalesce($"cc", $"rep")).as("keep"))
     }
 
+    // summary metrics in four actions, not seven: `grouped` carries one row
+    // per doc (docs + exact groups in one agg), `decisions` one row per doc
+    // (kept/dropped/clusters in one agg) — at bench scale the driver-side
+    // action count is a fixed serial cost that caps scaling efficiency
+    val g = grouped
+      .agg(count("*"), count(when($"doc_id" === $"rep", 1))).collect()(0)
+    val (nDocs, nGroups) = (g.getLong(0), g.getLong(1))
+    val d = decisions
+      .agg(count(when($"keep", 1)), count(when(!$"keep", 1)),
+        countDistinct($"cluster_id")).collect()(0)
+    val (nKept, nDropped, nClusters) = (d.getLong(0), d.getLong(1), d.getLong(2))
     val counts = Map(
-      "docs" -> documents.count(),
-      "exact_groups" -> grouped.where($"doc_id" === $"rep").count(),
+      "docs" -> nDocs,
+      "exact_groups" -> nGroups,
       "candidates" -> candDf.count(),
       "edges" -> edges.count(),
-      "clusters" -> decisions.select($"cluster_id").distinct().count(),
-      "kept" -> decisions.where($"keep").count(),
-      "dropped" -> decisions.where(!$"keep").count())
+      "clusters" -> nClusters,
+      "kept" -> nKept,
+      "dropped" -> nDropped)
     counts.foreach { case (k, v) => metrics += (("job", k, v.toDouble)) }
     m.stage(spark, "metrics") { metrics.toSeq.toDF("stage", "metric", "value") }
 

@@ -134,13 +134,23 @@ object LinkJob {
         }.reduce(_ union _)
     }
 
+    // summary counts in four actions, not seven: the lineage stage already
+    // holds exact per-stage row counts (sum of per-file rows), and the two
+    // classification buckets fuse into one aggregate — driver-side actions
+    // are a fixed serial cost on every run
+    val stageRows = spark.read.parquet(s"$outDir/lineage")
+      .groupBy($"stage").agg(sum($"rows").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cl = classified.agg(
+      count(when($"bucket" === "match", 1)),
+      count(when($"bucket" === "maybe", 1))).collect()(0)
     val counts = Map(
       "docs" -> docs.count(),
-      "records" -> recordsDf.count(),
-      "blocks" -> blocksDf.count(),
-      "pairs" -> pairsDf.count(),
-      "matches" -> classified.where($"bucket" === "match").count(),
-      "maybes" -> classified.where($"bucket" === "maybe").count(),
+      "records" -> stageRows("records"),
+      "blocks" -> stageRows("blocks"),
+      "pairs" -> stageRows("pairs"),
+      "matches" -> cl.getLong(0),
+      "maybes" -> cl.getLong(1),
       "clusters" -> clustersDf.select($"cluster_id").distinct().count())
     counts.foreach { case (k, v) => metrics += (("job", k, v.toDouble)) }
 

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.DedupScale
+
+/** The dedup scaling corpus must be a pure function of the base table —
+  * byte-identical across invocations and core counts — or the N-vs-4N
+  * comparison measures different inputs.
+  */
+class DedupScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = (0 until 20)
+    .map(i => (s"d$i", s"alpha bravo charlie delta echo foxtrot golf hotel india juliett base$i"))
+    .toDF("doc_id", "text")
+
+  test("expand is deterministic and 50x with the documented role mix") {
+    val a = DedupScale.expand(base).orderBy("doc_id").collect()
+    val b = DedupScale.expand(base).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 20 * 50)
+
+    val df = DedupScale.expand(base)
+    // 40% of replicas are byte-identical to the base text
+    val exact = df.join(base.select($"text".as("orig")), $"text" === $"orig")
+      .count()
+    assert(exact === 20 * 20L)
+    // 30% carry a unique salt token -> globally distinct texts
+    val uniq = df.where($"text".rlike(" uniq\\d+$")).count()
+    assert(uniq === 20 * 15L)
+    // 30% near copies, each distinct (role-tagged swap token)
+    assert(df.select($"text").distinct().count() === 20L + 20 * 15L + 20 * 15L)
+  }
+
+  test("baseReps multiplies into independent families with zero token overlap") {
+    val df = DedupScale.expand(base, baseReps = 3)
+    assert(df.count() === 20 * 3 * 50L)
+    assert(df.select($"doc_id").distinct().count() === 20 * 3 * 50L)
+    // families share no tokens -> no shingle can collide across replicas
+    val fam = df.withColumn("fam", pmod(($"doc_id" / 50).cast("long"), lit(3)))
+      .select($"fam", explode(split($"text", " ")).as("tok"))
+      .where(!$"tok".rlike("^uniq")) // uniq salt is doc-unique already
+      .groupBy($"tok").agg(countDistinct($"fam").as("nf"))
+      .agg(max($"nf")).collect()(0).getLong(0)
+    assert(fam === 1L)
+  }
+
+  test("near-copy replicas differ from THEIR base by exactly one token") {
+    val e = DedupScale.expand(base)
+    // role-0 replica == the base text; pair every near replica with it via
+    // doc_id arithmetic (no reliance on generation order)
+    val orig = e.where(pmod($"doc_id", lit(50)) === 0)
+      .select(($"doc_id" / 50).cast("long").as("b"), $"text".as("orig"))
+    val near = e
+      .withColumn("role", pmod($"doc_id", lit(50)))
+      .where($"role" >= 20 && $"role" < 35)
+      .select(($"doc_id" / 50).cast("long").as("b"), $"text")
+      .join(orig, "b")
+      .select(
+        size(array_except(split($"text", " "), split($"orig", " "))).as("extra"),
+        (size(split($"text", " ")) === size(split($"orig", " "))).as("same_len"),
+        ($"text" === $"orig").as("identical"))
+      .collect()
+    assert(near.length === 20 * 15)
+    for (r <- near) {
+      assert(r.getInt(0) === 1, "exactly one new token")
+      assert(r.getBoolean(1), "token count preserved")
+      assert(!r.getBoolean(2))
+    }
+  }
+}
