@@ -52,6 +52,43 @@ object DedupScale {
           .otherwise(concat(col("text"), lit(" uniq"), col("doc_id"))))
       .select(col("doc_id"), col("text2").as("text"))
 
+  case class Recall(
+      truePairs: Long, coClustered: Long,
+      subThresholdPairs: Long, subThresholdCoClustered: Long) {
+    def recall: Double = coClustered.toDouble / truePairs
+  }
+
+  /** Planted-structure recall of the banded dedup pipeline: every replica's
+    * ground truth vs ITS OWN base (role 0 of its family) is computable
+    * exactly — shingle-fps Jaccard >= the verify threshold means the pair
+    * MUST co-cluster in a perfect-recall run. Banding is the only lossy
+    * stage (the Jaccard verify is exact), so 1 - recall measures what the
+    * band scheme misses at this design point. Sub-threshold co-clustering
+    * is reported too: that is transitive CC merging, not an error.
+    */
+  def recall(corpus: DataFrame, decisions: DataFrame): Recall = {
+    val fps = graft.TrainingOps.shingleFps(corpus)
+      .withColumn("fam", expr("CAST(doc_id / 50 AS BIGINT)"))
+    val baseFps = fps.where(col("doc_id") % 50 === 0)
+      .select(col("fam"), col("doc_id").as("base_id"), col("fps").as("base_fps"))
+    val dec = decisions.select(col("doc_id"), col("cluster_id"))
+    val pairs = fps.where(col("doc_id") % 50 =!= 0)
+      .join(baseFps, "fam")
+      .withColumn("inter", size(array_intersect(col("fps"), col("base_fps"))).cast("long"))
+      .withColumn("jacc_micro", expr(
+        "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fps) + size(base_fps) - inter) * 1e6 + 0.5) AS BIGINT)"))
+      .join(dec.select(col("doc_id"), col("cluster_id").as("ca")), "doc_id")
+      .join(dec.select(col("doc_id").as("base_id"), col("cluster_id").as("cb")), "base_id")
+      .select(col("jacc_micro"), (col("ca") === col("cb")).as("same"))
+    val thr = graft.TrainingOps.config.jaccardMinMicro
+    val r = pairs.agg(
+      count(when(col("jacc_micro") >= thr, 1)),
+      count(when(col("jacc_micro") >= thr && col("same"), 1)),
+      count(when(col("jacc_micro") < thr, 1)),
+      count(when(col("jacc_micro") < thr && col("same"), 1))).collect()(0)
+    Recall(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
     val dir = args.lift(1).getOrElse("/tmp/graft-dedup-scale")
@@ -99,7 +136,18 @@ object DedupScale {
           s""""best_seconds":${math.round(best * 1000) / 1000.0},""" +
           s""""runs_seconds":$runsJson,"partitions":$Partitions}""")
 
-      case other => sys.error(s"unknown mode $other (prepare|run)")
+      case "recall" =>
+        val decisionsPath = args.lift(2)
+          .getOrElse(s"$dir/out-8-1/decisions")
+        val r = recall(spark.read.parquet(s"$dir/corpus"),
+          spark.read.parquet(decisionsPath))
+        println(s"""{"metric":"dedup_recall","value":${r.recall},""" +
+          s""""true_pairs":${r.truePairs},"co_clustered":${r.coClustered},""" +
+          s""""sub_threshold_pairs":${r.subThresholdPairs},""" +
+          s""""sub_threshold_co_clustered":${r.subThresholdCoClustered},""" +
+          s""""threshold_micro":${graft.TrainingOps.config.jaccardMinMicro}}""")
+
+      case other => sys.error(s"unknown mode $other (prepare|run|recall)")
     }
     spark.stop()
   }

@@ -46,6 +46,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(fam === 1L)
   }
 
+  test("recall vs planted ground truth on an end-to-end DedupJob run") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupscale").toString
+    val corpus = DedupScale.expand(base)
+    graft.jobs.DedupJob.run(spark, corpus, s"$dir/out")
+    val r = DedupScale.recall(corpus, spark.read.parquet(s"$dir/out/decisions"))
+    // 11-token bases, k=3 shingles: per base the 19 exact copies (J=1) and
+    // 15 uniq-salted replicas (J=0.9) are true pairs, plus the 4 near
+    // copies whose swap lands at an END token (kills one shingle, J=0.8
+    // exactly); the 11 interior swaps kill ~3 of 9 shingles (J~0.5-0.64),
+    // legitimately below the 0.80 gate -> sub-threshold
+    assert(r.truePairs === 20 * 38L, s"truth pairs: $r")
+    assert(r.subThresholdPairs === 20 * 11L, s"sub-threshold: $r")
+    // banding at J=0.8 has a small deterministic miss rate; exact copies
+    // and J=0.9 pairs band reliably
+    assert(r.recall >= 0.95, s"recall: $r")
+  }
+
   test("near-copy replicas differ from THEIR base by exactly one token") {
     val e = DedupScale.expand(base)
     // role-0 replica == the base text; pair every near replica with it via
