@@ -118,6 +118,10 @@ object DedupScale {
         val docs = spark.read.parquet(s"$dir/corpus")
         val nDocs = docs.count() // also warms the page cache + JIT
         val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        // band-count override for recall-vs-cost sweeps (design-point curve)
+        val cfg = sys.env.get("SPARK_GRAFT_MINHASH_BANDS")
+          .map(b => graft.TrainingOps.config.copy(minhashBands = b.toInt))
+          .getOrElse(graft.TrainingOps.config)
         var last: DedupJob.Summary = null
         // fresh outDir per rep — DedupJob's manifest makes a reused dir a
         // resume no-op, which would time nothing
@@ -125,14 +129,15 @@ object DedupScale {
           val out = s"$dir/out-$cpus-$i"
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
           val t0 = System.nanoTime()
-          last = DedupJob.run(spark, docs, out)
+          last = DedupJob.run(spark, docs, out, cfg)
           (System.nanoTime() - t0) / 1e9
         }
         val best = times.min
         val runsJson = times.map(t => math.round(t * 1000) / 1000.0).mkString("[", ",", "]")
         println(s"""{"metric":"dedup_docs_per_sec","value":${(nDocs / best).round},""" +
-          s""""unit":"docs/sec","cores":$cpus,"docs":$nDocs,""" +
+          s""""unit":"docs/sec","cores":$cpus,"docs":$nDocs,"bands":${cfg.minhashBands},""" +
           s""""clusters":${last.clusters},"kept":${last.kept},"edges":${last.edges},""" +
+          s""""candidates":${last.candidates},""" +
           s""""best_seconds":${math.round(best * 1000) / 1000.0},""" +
           s""""runs_seconds":$runsJson,"partitions":$Partitions}""")
 
