@@ -33,7 +33,7 @@ object SparkEntry {
     * kernel — bit-identical to the interpreted cosStagedSpark HOF twin
     * (VecKernelsSpec parity; identical Divide/Multiply/Add tree after it).
     */
-  private def cosMicro(qv: String, cv: String, qn: String, cn: String): Column =
+  private[graft] def cosMicro(qv: String, cv: String, qn: String, cn: String): Column =
     floor(vec_dot(col(qv), col(cv)) / (col(qn) * col(cn)) * lit(1e6) + lit(0.5)).cast("long")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
