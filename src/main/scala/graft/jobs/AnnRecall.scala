@@ -47,6 +47,12 @@ object AnnRecall {
     val e = emb.select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
       .cache()
     val n = e.count()
+    // the exact baseline is O(n²) BY DESIGN — same guard discipline as the
+    // labeled brute-force production query (SURVEY §2.6 J5): refuse inputs
+    // where the quadratic target itself is the mistake
+    require(n <= 100000,
+      s"AnnRecall computes an exact n² baseline ($n vectors -> ${n * n} pairs); " +
+        "measure recall on a sample <= 100k vectors")
     val vecs = e
 
     // exact baseline: every vector is a query
