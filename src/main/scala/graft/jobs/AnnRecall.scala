@@ -94,6 +94,7 @@ object AnnRecall {
     }
     val (lshR, lshF) = recallOf(lshCand)
     val (ivfR, ivfF) = recallOf(ivfCand)
+    Seq(e, exact, lshCand, ivfCand).foreach(_.unpersist())
     Seq(
       Result("brute_force", 1.0, 1.0),
       Result("sign_lsh", lshR, lshF),

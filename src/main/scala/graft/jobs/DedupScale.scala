@@ -36,7 +36,16 @@ object DedupScale {
     * the knob instead of collapsing into cross-replica exact groups.
     */
   def expand(base: DataFrame, baseReps: Int = 1): DataFrame =
-    base.select(monotonically_increasing_id().as("base_ord0"), col("text"))
+    // base_ord must not depend on the input's partition layout (a
+    // monotonically_increasing_id encodes partition ids, so regenerating
+    // under a different core count would silently change every derived
+    // text); rank over the base key is layout-independent. The one-row
+    // window frame runs once at corpus-prepare time, never in the
+    // measured job.
+    base.select(col("doc_id"), col("text"))
+      .withColumn("base_ord0",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))).cast("long") - 1)
+      .select(col("base_ord0"), col("text"))
       .withColumn("r", explode(sequence(lit(0), lit(baseReps - 1))))
       .withColumn("base_ord", col("base_ord0") * baseReps + col("r"))
       .withColumn("text", when(col("r") === 0, col("text"))
@@ -118,6 +127,7 @@ object DedupScale {
         val docs = spark.read.parquet(s"$dir/corpus")
         val nDocs = docs.count() // also warms the page cache + JIT
         val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
         // band-count override for recall-vs-cost sweeps (design-point curve)
         val cfg = sys.env.get("SPARK_GRAFT_MINHASH_BANDS")
           .map(b => graft.TrainingOps.config.copy(minhashBands = b.toInt))

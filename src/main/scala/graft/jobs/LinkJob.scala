@@ -138,9 +138,12 @@ object LinkJob {
     // holds exact per-stage row counts (sum of per-file rows), and the two
     // classification buckets fuse into one aggregate — driver-side actions
     // are a fixed serial cost on every run
-    val stageRows = spark.read.parquet(s"$outDir/lineage")
+    // `lineage` is the persisted stage frame already in hand; an empty
+    // persisted stage contributes no lineage rows, so its count is 0
+    val stageRows = lineage
       .groupBy($"stage").agg(sum($"rows").as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
     val cl = classified.agg(
       count(when($"bucket" === "match", 1)),
       count(when($"bucket" === "maybe", 1))).collect()(0)
