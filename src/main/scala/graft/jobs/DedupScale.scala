@@ -98,6 +98,35 @@ object DedupScale {
     Recall(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** Measured recall per exact-Jaccard bucket beside the MinHash-banding
+    * theory curve: a pair at Jaccard J agrees on one 2-minhash band with
+    * probability ~J², so P(candidate) ~ 1 - (1-J²)^B — the measured
+    * per-bucket recall should track it (exact duplicates recall 1.0 by the
+    * exact-group pre-pass, which the theory column ignores).
+    */
+  def recallByBucket(corpus: DataFrame, decisions: DataFrame, bands: Int): DataFrame = {
+    val fps = graft.TrainingOps.shingleFps(corpus)
+      .withColumn("fam", expr("CAST(doc_id / 50 AS BIGINT)"))
+    val baseFps = fps.where(col("doc_id") % 50 === 0)
+      .select(col("fam"), col("doc_id").as("base_id"), col("fps").as("base_fps"))
+    val dec = decisions.select(col("doc_id"), col("cluster_id"))
+    fps.where(col("doc_id") % 50 =!= 0)
+      .join(baseFps, "fam")
+      .withColumn("inter", size(array_intersect(col("fps"), col("base_fps"))).cast("long"))
+      .withColumn("jacc_micro", expr(
+        "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fps) + size(base_fps) - inter) * 1e6 + 0.5) AS BIGINT)"))
+      .where(col("jacc_micro") >= graft.TrainingOps.config.jaccardMinMicro)
+      .join(dec.select(col("doc_id"), col("cluster_id").as("ca")), "doc_id")
+      .join(dec.select(col("doc_id").as("base_id"), col("cluster_id").as("cb")), "base_id")
+      .withColumn("bucket", floor(col("jacc_micro") / 20000L) * 20000L)
+      .groupBy(col("bucket"))
+      .agg(count("*").as("n"), count(when(col("ca") === col("cb"), 1)).as("co"))
+      .withColumn("measured_recall", col("co") / col("n"))
+      .withColumn("theory_band_hit", lit(1.0) - pow(
+        lit(1.0) - pow((col("bucket") + 10000L) / 1e6, 2.0), bands))
+      .orderBy(col("bucket"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
     val dir = args.lift(1).getOrElse("/tmp/graft-dedup-scale")
@@ -161,6 +190,14 @@ object DedupScale {
           s""""sub_threshold_pairs":${r.subThresholdPairs},""" +
           s""""sub_threshold_co_clustered":${r.subThresholdCoClustered},""" +
           s""""threshold_micro":${graft.TrainingOps.config.jaccardMinMicro}}""")
+        val bands = sys.env.get("SPARK_GRAFT_MINHASH_BANDS").map(_.toInt)
+          .getOrElse(graft.TrainingOps.config.minhashBands)
+        recallByBucket(spark.read.parquet(s"$dir/corpus"),
+          spark.read.parquet(decisionsPath), bands).collect().foreach { b =>
+          println(s"""{"metric":"dedup_recall_bucket","jacc_lo":${b.getLong(0)},""" +
+            s""""n":${b.getLong(1)},"co_clustered":${b.getLong(2)},""" +
+            s""""measured_recall":${b.getDouble(3)},"theory_band_hit":${b.getDouble(4)}}""")
+        }
 
       case other => sys.error(s"unknown mode $other (prepare|run|recall)")
     }
