@@ -61,6 +61,19 @@ class DedupScaleSpec extends SparkSpec {
     // banding at J=0.8 has a small deterministic miss rate; exact copies
     // and J=0.9 pairs band reliably
     assert(r.recall >= 0.95, s"recall: $r")
+
+    // calibration buckets: only true pairs, sane recall values, and the
+    // exact-duplicate bucket is 1.0 by the exact-group pre-pass guarantee
+    val buckets = DedupScale.recallByBucket(
+      corpus, spark.read.parquet(s"$dir/out/decisions"),
+      graft.TrainingOps.config.minhashBands).collect()
+    assert(buckets.map(_.getLong(1)).sum === r.truePairs)
+    for (b <- buckets) {
+      assert(b.getLong(0) >= graft.TrainingOps.config.jaccardMinMicro - 10000)
+      assert(b.getDouble(3) >= 0.0 && b.getDouble(3) <= 1.0)
+    }
+    val exactBucket = buckets.filter(_.getLong(0) === 1000000L)
+    assert(exactBucket.length === 1 && exactBucket.head.getDouble(3) === 1.0)
   }
 
   test("near-copy replicas differ from THEIR base by exactly one token") {
