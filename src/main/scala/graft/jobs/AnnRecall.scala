@@ -50,6 +50,7 @@ object AnnRecall {
     // the exact baseline is O(n²) BY DESIGN — same guard discipline as the
     // labeled brute-force production query (SURVEY §2.6 J5): refuse inputs
     // where the quadratic target itself is the mistake
+    require(n >= 2, s"recall needs at least 2 vectors, got $n")
     require(n <= 100000,
       s"AnnRecall computes an exact n² baseline ($n vectors -> ${n * n} pairs); " +
         "measure recall on a sample <= 100k vectors")

@@ -97,4 +97,15 @@ class DedupJobSpec extends SparkSpec {
     assert(dec(901L) === ((901L, true)))
     assert(s.dropped === 500L) // 499 exact + doc 900
   }
+
+  test("empty corpus: all-zero summary, no crash") {
+    val s = DedupJob.run(spark, docs(), tmp("graft-dedup-empty"))
+    assert(s === DedupJob.Summary(0, 0, 0, 0, 0, 0, 0, 0.0))
+  }
+
+  test("single document: one kept cluster, no pairs") {
+    val s = DedupJob.run(spark, docs(7L -> base), tmp("graft-dedup-one"))
+    assert(s.docs === 1 && s.candidates === 0 && s.edges === 0)
+    assert(s.clusters === 1 && s.kept === 1 && s.dropped === 0)
+  }
 }

@@ -26,6 +26,13 @@ class ResumeSpec extends SparkSpec {
     spark.read.parquet(s"$dir/clusters").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
+  test("empty corpus: LinkJob completes with zero counts") {
+    val s = LinkJob.run(spark, Fixtures.docs(spark, 0), MatchConfig.fixture,
+      tmpDir("graft-link-empty").toString)
+    assert(s.docs === 0 && s.records === 0 && s.pairs === 0)
+    assert(s.matches === 0 && s.clusters === 0)
+  }
+
   test("LinkJob end-to-end: counts, lineage, metrics, clusters") {
     val out = tmpDir("graft-link").toString
     val docs = Fixtures.docs(spark, 250)
