@@ -44,7 +44,10 @@ object DedupScale {
     // measured job.
     base.select(col("doc_id"), col("text"))
       .withColumn("base_ord0",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))).cast("long") - 1)
+        // text as tie-break makes the ordering total even if the base
+        // table carries duplicate doc_ids
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"), col("text"))).cast("long") - 1)
       .select(col("base_ord0"), col("text"))
       .withColumn("r", explode(sequence(lit(0), lit(baseReps - 1))))
       .withColumn("base_ord", col("base_ord0") * baseReps + col("r"))
@@ -75,13 +78,16 @@ object DedupScale {
     * band scheme misses at this design point. Sub-threshold co-clustering
     * is reported too: that is transitive CC merging, not an error.
     */
-  def recall(corpus: DataFrame, decisions: DataFrame): Recall = {
+  /** (jacc_micro, same) for every replica-vs-its-base pair — the one truth
+    * construction shared by the scalar recall and the calibration buckets.
+    */
+  private def truthPairs(corpus: DataFrame, decisions: DataFrame): DataFrame = {
     val fps = graft.TrainingOps.shingleFps(corpus)
       .withColumn("fam", expr("CAST(doc_id / 50 AS BIGINT)"))
     val baseFps = fps.where(col("doc_id") % 50 === 0)
       .select(col("fam"), col("doc_id").as("base_id"), col("fps").as("base_fps"))
     val dec = decisions.select(col("doc_id"), col("cluster_id"))
-    val pairs = fps.where(col("doc_id") % 50 =!= 0)
+    fps.where(col("doc_id") % 50 =!= 0)
       .join(baseFps, "fam")
       .withColumn("inter", size(array_intersect(col("fps"), col("base_fps"))).cast("long"))
       .withColumn("jacc_micro", expr(
@@ -89,8 +95,11 @@ object DedupScale {
       .join(dec.select(col("doc_id"), col("cluster_id").as("ca")), "doc_id")
       .join(dec.select(col("doc_id").as("base_id"), col("cluster_id").as("cb")), "base_id")
       .select(col("jacc_micro"), (col("ca") === col("cb")).as("same"))
+  }
+
+  def recall(corpus: DataFrame, decisions: DataFrame): Recall = {
     val thr = graft.TrainingOps.config.jaccardMinMicro
-    val r = pairs.agg(
+    val r = truthPairs(corpus, decisions).agg(
       count(when(col("jacc_micro") >= thr, 1)),
       count(when(col("jacc_micro") >= thr && col("same"), 1)),
       count(when(col("jacc_micro") < thr, 1)),
@@ -104,28 +113,18 @@ object DedupScale {
     * per-bucket recall should track it (exact duplicates recall 1.0 by the
     * exact-group pre-pass, which the theory column ignores).
     */
-  def recallByBucket(corpus: DataFrame, decisions: DataFrame, bands: Int): DataFrame = {
-    val fps = graft.TrainingOps.shingleFps(corpus)
-      .withColumn("fam", expr("CAST(doc_id / 50 AS BIGINT)"))
-    val baseFps = fps.where(col("doc_id") % 50 === 0)
-      .select(col("fam"), col("doc_id").as("base_id"), col("fps").as("base_fps"))
-    val dec = decisions.select(col("doc_id"), col("cluster_id"))
-    fps.where(col("doc_id") % 50 =!= 0)
-      .join(baseFps, "fam")
-      .withColumn("inter", size(array_intersect(col("fps"), col("base_fps"))).cast("long"))
-      .withColumn("jacc_micro", expr(
-        "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fps) + size(base_fps) - inter) * 1e6 + 0.5) AS BIGINT)"))
+  def recallByBucket(corpus: DataFrame, decisions: DataFrame, bands: Int): DataFrame =
+    truthPairs(corpus, decisions)
       .where(col("jacc_micro") >= graft.TrainingOps.config.jaccardMinMicro)
-      .join(dec.select(col("doc_id"), col("cluster_id").as("ca")), "doc_id")
-      .join(dec.select(col("doc_id").as("base_id"), col("cluster_id").as("cb")), "base_id")
       .withColumn("bucket", floor(col("jacc_micro") / 20000L) * 20000L)
       .groupBy(col("bucket"))
-      .agg(count("*").as("n"), count(when(col("ca") === col("cb"), 1)).as("co"))
+      .agg(count("*").as("n"), count(when(col("same"), 1)).as("co"))
       .withColumn("measured_recall", col("co") / col("n"))
+      // midpoint clamped to J=1: the top bucket's midpoint would otherwise
+      // exceed 1, making 1-J² negative (impossible probabilities for odd B)
       .withColumn("theory_band_hit", lit(1.0) - pow(
-        lit(1.0) - pow((col("bucket") + 10000L) / 1e6, 2.0), bands))
+        lit(1.0) - pow(least(col("bucket") + 10000L, lit(1000000L)) / 1e6, 2.0), bands))
       .orderBy(col("bucket"))
-  }
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
@@ -190,7 +189,11 @@ object DedupScale {
           s""""sub_threshold_pairs":${r.subThresholdPairs},""" +
           s""""sub_threshold_co_clustered":${r.subThresholdCoClustered},""" +
           s""""threshold_micro":${graft.TrainingOps.config.jaccardMinMicro}}""")
-        val bands = sys.env.get("SPARK_GRAFT_MINHASH_BANDS").map(_.toInt)
+        // the theory column must use the band count OF THE RUN that wrote
+        // the decisions — pass it explicitly when it differed from the
+        // default (recall <dir> <decisionsPath> [bands])
+        val bands = args.lift(3).map(_.toInt)
+          .orElse(sys.env.get("SPARK_GRAFT_MINHASH_BANDS").map(_.toInt))
           .getOrElse(graft.TrainingOps.config.minhashBands)
         recallByBucket(spark.read.parquet(s"$dir/corpus"),
           spark.read.parquet(decisionsPath), bands).collect().foreach { b =>
