@@ -761,7 +761,11 @@ object SparkEntry {
 
     /** MinHash-LSH near-dup candidate pairs: 4 bands of 2 signatures; verified
       * with true shingle-set Jaccard >= 0.8 (shingle -> minhash -> band ->
-      * bucket-join -> verify).
+      * bucket-join -> verify). Verify-then-expand (VERDICT r3 #1): contraction
+      * on the exact fps fingerprint (DedupJob's md5 discipline) makes group
+      * members true duplicates, so Jaccard verifies REP pairs only — O(reps)
+      * — and survivors expand by membership; within-group pairs carry
+      * Jaccard(x,x) = 1 exactly (fps arrays are distinct by construction).
       */
     "q_lsh_near_dup_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -771,22 +775,24 @@ object SparkEntry {
       // up to 4× per document — at 100 TB that is 4 full corpus passes
       val sigs = graft.io.Persist.truncate(shingleFps(docs)
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*))
-      // candidate ids via the salted/capped banded join (exact-dup contraction
-      // + grid-salted bucket cells — BandedPairs); fps arrays re-attach AFTER
-      // the narrow id-only candidate generation
-      val cand = graft.pipeline.BandedPairs.candidatePairs(
-        sigs.selectExpr("doc_id AS id",
-          s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
-        config.pairCfg)
       val fps = sigs.select(col("doc_id"), col("fps"))
-      cand
-        .join(fps.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
-        .join(fps.select(col("doc_id").as("b_id"), col("fps").as("fb")), "b_id")
-        .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
-        .withColumn("jacc_micro", expr(
-          "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
-        .where(col("jacc_micro") >= config.jaccardMinMicro)
-        .select(col("a_id"), col("b_id"), col("jacc_micro"))
+      graft.pipeline.BandedPairs.verifiedPairs(
+        sigs.selectExpr("doc_id AS id", "fps",
+          s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
+        key = md5(concat_ws(",", col("fps"))),
+        selfSims = Seq(lit(1000000L).as("jacc_micro")),
+        cfg = config.pairCfg) { reps =>
+        // fps arrays re-attach to REP pairs only, AFTER the narrow id-only
+        // candidate generation — the verify join is bounded by the rep count
+        reps
+          .join(fps.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
+          .join(fps.select(col("doc_id").as("b_id"), col("fps").as("fb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+          .withColumn("jacc_micro", expr(
+            "CAST(FLOOR(CAST(inter AS DOUBLE) / (size(fa) + size(fb) - inter) * 1e6 + 0.5) AS BIGINT)"))
+          .where(col("jacc_micro") >= config.jaccardMinMicro)
+          .select(col("a_id"), col("b_id"), col("jacc_micro"))
+      }
     }),
 
     /** SimHash (64-bit: hi/lo 32-bit halves) over distinct token fingerprints,
@@ -815,18 +821,25 @@ object SparkEntry {
         .select(col("doc_id"), simhash64(col("fps")).as("code"))
         .select(col("doc_id"),
           col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh")))
-      // 4×16-bit pigeonhole sub-keys -> salted/capped banded join
-      val cand = graft.pipeline.BandedPairs.candidatePairs(
-        codes.selectExpr("doc_id AS id",
+      // 4×16-bit pigeonhole sub-keys -> salted/capped banded join. Here the
+      // verify payload IS the 64-bit code and the bands exactly partition it,
+      // so the code doubles as the exact contraction key: code-equal groups
+      // have hamming 0 by construction, and rep-level hamming transfers to
+      // every member pair (verify-then-expand, VERDICT r3 #1)
+      graft.pipeline.BandedPairs.verifiedPairs(
+        codes.selectExpr("doc_id AS id", "sl", "sh",
           "array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16)) AS bands"),
-        config.pairCfg)
-      cand
-        .join(codes.select(col("doc_id").as("a_id"), col("sl").as("la"), col("sh").as("ha")), "a_id")
-        .join(codes.select(col("doc_id").as("b_id"), col("sl").as("lb"), col("sh").as("hb")), "b_id")
-        .withColumn("hamming",
-          expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
-        .where(col("hamming") <= config.hammingMax)
-        .select(col("a_id"), col("b_id"), col("hamming"))
+        key = concat_ws(":", col("sl"), col("sh")),
+        selfSims = Seq(lit(0L).as("hamming")),
+        cfg = config.pairCfg) { reps =>
+        reps
+          .join(codes.select(col("doc_id").as("a_id"), col("sl").as("la"), col("sh").as("ha")), "a_id")
+          .join(codes.select(col("doc_id").as("b_id"), col("sl").as("lb"), col("sh").as("hb")), "b_id")
+          .withColumn("hamming",
+            expr("CAST(bit_count(la ^ lb) + bit_count(ha ^ hb) AS BIGINT)"))
+          .where(col("hamming") <= config.hammingMax)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+      }
     }),
 
     /** n-gram Jaccard near-dup scoring between consecutive docs (char trigrams). */
@@ -933,15 +946,23 @@ object SparkEntry {
           sign_lsh_bucket(col("embedding"), 0, config.nearDupPlanes).as("bucket"),
           vec_norm(col("embedding")).as("nrm")))
       // single-band bucket scheme -> same salted/capped discipline (a hot
-      // bucket of near-identical embeddings is the dup-heavy case here)
-      val cand = graft.pipeline.BandedPairs.candidatePairs(
-        e.selectExpr("vec_id AS id", "array(bucket) AS bands"), config.pairCfg)
-      cand
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")), "b_id")
-        .withColumn("cos_micro", cosMicro("va", "vb", "na", "nb"))
-        .where(col("cos_micro") >= config.cosineMinMicro)
-        .select(col("a_id"), col("b_id"), col("cos_micro"))
+      // bucket of near-identical embeddings is the dup-heavy case here).
+      // Contraction on the exact vector (stringified floats — bit-faithful):
+      // identical embeddings share cos = 1 (micro-rounds to exactly 10⁶:
+      // double-accumulated dot, |cos(x,x)−1| ~ 1e-15 ≪ the 5e-7 rounding
+      // slack), so cosine verifies rep pairs only and survivors expand
+      graft.pipeline.BandedPairs.verifiedPairs(
+        e.selectExpr("vec_id AS id", "embedding", "array(bucket) AS bands"),
+        key = md5(concat_ws(",", col("embedding").cast("array<string>"))),
+        selfSims = Seq(lit(1000000L).as("cos_micro")),
+        cfg = config.pairCfg) { reps =>
+        reps
+          .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
+          .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")), "b_id")
+          .withColumn("cos_micro", cosMicro("va", "vb", "na", "nb"))
+          .where(col("cos_micro") >= config.cosineMinMicro)
+          .select(col("a_id"), col("b_id"), col("cos_micro"))
+      }
     }),
 
     /** Language ID: stopword-hit argmax heuristic. */

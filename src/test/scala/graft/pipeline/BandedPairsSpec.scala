@@ -106,6 +106,108 @@ class BandedPairsSpec extends SparkSpec {
     assert(st.droppedPairsMass === 0.0)
   }
 
+  // ---- verify-then-expand (VERDICT r3 "What's wrong #1") ----
+  // payload-keyed rows: bands are a pure function of the payload, sim is
+  // 1e6 - |pa - pb| (so sim(x,x) = 1e6 exactly, like Jaccard/cosine micro)
+  private def vItems(rows: Seq[(Long, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "payload", "bands")
+  }
+
+  private def verifier(
+      rows: Seq[(Long, Long, Seq[Long])],
+      minSim: Long)(reps: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pay = rows.map(r => (r._1, r._2)).toDF("id", "payload")
+    reps
+      .join(pay.select(col("id").as("a_id"), col("payload").as("pa")), "a_id")
+      .join(pay.select(col("id").as("b_id"), col("payload").as("pb")), "b_id")
+      .withColumn("sim", lit(1000000L) - abs($"pa" - $"pb"))
+      .where($"sim" >= minSim)
+      .select($"a_id", $"b_id", $"sim")
+  }
+
+  private def naiveVerified(
+      rows: Seq[(Long, Long, Seq[Long])], minSim: Long): Set[(Long, Long, Long)] =
+    (for {
+      (ia, pa, ba) <- rows; (ib, pb, bb) <- rows
+      if ia < ib && ba.indices.exists(k => ba(k) == bb(k))
+      sim = 1000000L - math.abs(pa - pb) if sim >= minSim
+    } yield (ia, ib, sim)).toSet
+
+  test("verifiedPairs equals naive verify-every-candidate-pair (random shapes)") {
+    for (seed <- Seq(5, 23)) {
+      val r = new scala.util.Random(seed)
+      // small payload space -> real dup groups; bands derived from payload
+      val rows: Seq[(Long, Long, Seq[Long])] = (0L until (60 + r.nextInt(60)).toLong).map { i =>
+        val p = r.nextInt(12).toLong * 3
+        (i, p, Seq(p % 5, p / 5 % 5))
+      }
+      val minSim = 999997L
+      val got = BandedPairs.verifiedPairs(
+        vItems(rows), col("payload").cast("string"),
+        Seq(lit(1000000L).as("sim")))(verifier(rows, minSim))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got === naiveVerified(rows, minSim), s"seed=$seed")
+    }
+  }
+
+  test("two linked 10k-member dup groups: verify sees O(reps) pairs, never members²") {
+    // groups A (payload 10) and B (payload 20) share band value 7 -> exactly
+    // ONE candidate rep pair; naive expand-then-verify would materialize 10⁸
+    // member pairs before filtering. The verify callback counts its input.
+    val rows: Seq[(Long, Long, Seq[Long])] =
+      (0L until 10000L).map(i => (i, 10L, Seq(7L, 1L))) ++
+        (10000L until 20000L).map(i => (i, 20L, Seq(7L, 2L)))
+    var verifyInput = -1L
+    // |10 - 20| = 10 > 5 -> the rep pair FAILS verification: nothing expands
+    val (pairs, st) = BandedPairs.verifiedCandidates(
+      vItems(rows), col("payload").cast("string"),
+      Seq(lit(1000000L).as("sim")),
+      PairConfig(saltThreshold = 64, maxBlockSize = 100)) { reps =>
+      val counted = reps.cache()
+      verifyInput = counted.count()
+      verifier(rows, minSim = 999995L)(counted)
+    }
+    assert(pairs.count() === 0L)
+    assert(verifyInput === 1L, "verify join must be rep-level: one pair for two linked groups")
+    // both 10k intra groups exceed the cap: dropped WITH member-pair mass
+    assert(st.intra.droppedBlocks === 2)
+    assert(st.intra.droppedPairsMass === 2 * (10000.0 * 9999 / 2))
+    // the shared band bucket holds 2 reps (n=2 <= cap): nothing dropped there
+    assert(st.cross.droppedBlocks === 0)
+  }
+
+  test("surviving rep pair expands to member pairs carrying the rep similarity") {
+    // two 30-member groups, payloads 4 apart (sim 999996 >= 999995): the one
+    // verified rep pair expands to 900 cross pairs; within-group pairs carry
+    // sim(x,x) = 1e6 without re-verification
+    val rows: Seq[(Long, Long, Seq[Long])] =
+      (0L until 30L).map(i => (i, 100L, Seq(7L, 1L))) ++
+        (100L until 130L).map(i => (i, 104L, Seq(7L, 2L)))
+    val got = BandedPairs.verifiedPairs(
+      vItems(rows), col("payload").cast("string"),
+      Seq(lit(1000000L).as("sim")))(verifier(rows, minSim = 999995L))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === naiveVerified(rows, 999995L))
+    assert(got.count(_._3 == 1000000L) === 2 * 30 * 29 / 2) // intra, self-sim
+    assert(got.count(_._3 == 999996L) === 30 * 30) // expanded cross
+  }
+
+  test("member-weighted dropped mass at the band join (ADVICE r3)") {
+    // 200 reps in one hot bucket, each representing a 3-member dup group:
+    // dropping the bucket loses (S² - Σg²)/2 = (600² - 200·9)/2 member pairs,
+    // not the 200·199/2 rep pairs the old stats undercounted
+    val rows: Seq[(Long, Long, Seq[Long])] =
+      (0L until 600L).map(i => (i, (i % 200) + 1000L, Seq(5L)))
+    val (_, st) = BandedPairs.verifiedCandidates(
+      vItems(rows), col("payload").cast("string"),
+      Seq(lit(1000000L).as("sim")),
+      PairConfig(saltThreshold = 16, maxBlockSize = 100))(verifier(rows, 0L))
+    assert(st.cross.droppedBlocks === 1)
+    assert(st.cross.droppedPairsMass === (600.0 * 600 - 200.0 * 9) / 2)
+  }
+
   test("hot band value across DISTINCT signatures is dropped at the band join") {
     // 200 items, all distinct signatures, all sharing band 0 value 5: the
     // contraction cannot help (no exact dups) — the cap must fire on the
