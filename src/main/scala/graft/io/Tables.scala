@@ -73,6 +73,117 @@ class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
   }
 }
 
+/** Hash-partitioned variant of [[PartitionedParquetTable]]: rows land in
+  * `nBuckets` partitions by `pmod(xxhash64(partCol), nBuckets)` and each
+  * snapshot's manifest lists ONE dir per live partition — so a commit can
+  * replace a SUBSET of partitions while untouched partitions keep pointing at
+  * their previous snapshot's files (`overwritePartitions`). This is the
+  * streaming cluster-label shape (VERDICT r3 "What's wrong #2"): a micro-batch
+  * that relabels a few clusters rewrites only the partitions holding those
+  * labels, never the whole corpus labeling — O(batch) write amplification,
+  * with every batch still committed as an atomic, time-travelable snapshot.
+  *
+  * Partitioning key choice matters: partitioning cluster labels by
+  * `cluster_id` co-locates every member of a cluster, so the affected
+  * partition set is computable from the relabel map alone; partitioning by
+  * doc_id would scatter each affected cluster across all partitions and
+  * finding them would cost a corpus scan per batch.
+  */
+class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: Int)
+    extends IcebergLikeTable {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+  private def rootP: Path = Paths.get(root)
+  private def currentP: Path = rootP.resolve("CURRENT")
+
+  def currentSnapshot: Option[Long] =
+    if (Files.exists(currentP)) Some(Files.readString(currentP).trim.toLong) else None
+
+  /** The partition a value of `partCol` belongs to (same expression the
+    * writer uses — callers compute affected partitions with it).
+    */
+  def partitionExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(c),
+      org.apache.spark.sql.functions.lit(nBuckets.toLong)).cast("int")
+
+  private def snapshotDirs(k: Long): Seq[String] = {
+    val j = Files.readString(rootP.resolve(s"snapshots/v$k.json"))
+    "\"data/[^\"]+\"".r.findAllIn(j).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+  }
+
+  private def partOf(dir: String): Int =
+    dir.substring(dir.lastIndexOf("__part=") + "__part=".length).toInt
+
+  private def commit(df: DataFrame, op: String, replaced: Option[Set[Int]]): Long = {
+    val k = currentSnapshot.getOrElse(0L) + 1
+    val dataDir = s"data/s$k"
+    df.withColumn("__part", partitionExpr(df(partCol)))
+      .write.mode("overwrite").partitionBy("__part").parquet(s"$root/$dataDir")
+    val newDirs = {
+      val d = rootP.resolve(dataDir).toFile.listFiles()
+      if (d == null) Seq.empty
+      else d.filter(f => f.isDirectory && f.getName.startsWith("__part="))
+        .map(f => s"$dataDir/${f.getName}").toSeq.sorted
+    }
+    val dirs = (op, replaced) match {
+      case ("overwrite", None) => newDirs
+      case ("append", None) => currentSnapshot.map(snapshotDirs).getOrElse(Nil) ++ newDirs
+      case (_, Some(parts)) => // replace only the listed partitions
+        currentSnapshot.map(snapshotDirs).getOrElse(Nil)
+          .filterNot(d => parts.contains(partOf(d))) ++ newDirs
+    }
+    Files.createDirectories(rootP.resolve("snapshots"))
+    val manifest =
+      s"""{"snapshot":$k,"op":"$op","ts":${System.currentTimeMillis()},""" +
+        s""""dirs":[${dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+    Files.writeString(rootP.resolve(s"snapshots/v$k.json"), manifest)
+    val tmp = rootP.resolve("CURRENT.tmp")
+    Files.writeString(tmp, k.toString)
+    Files.move(tmp, currentP, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    k
+  }
+
+  def append(df: DataFrame): Long = commit(df, "append", None)
+  def overwrite(df: DataFrame): Long = commit(df, "overwrite", None)
+
+  /** Replace the listed partitions with `df`'s rows, leaving every other
+    * partition's files untouched. `df` must contain ONLY rows whose partition
+    * (by `partitionExpr`) is in `parts` — rows outside would silently shadow
+    * live data in the new snapshot.
+    */
+  def overwritePartitions(df: DataFrame, parts: Set[Int]): Long =
+    commit(df, "overwrite_partitions", Some(parts))
+
+  def read(spark: SparkSession): DataFrame =
+    readSnapshot(spark, currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"empty table $root")))
+
+  /** Read only the listed partitions of the current snapshot (partition
+    * pruning by manifest — no other partition's files are listed or opened).
+    * Partitions with no live dir contribute nothing; all-absent yields an
+    * empty frame with the table schema.
+    */
+  def readPartitions(spark: SparkSession, parts: Set[Int]): DataFrame = {
+    val k = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"empty table $root"))
+    val dirs = snapshotDirs(k).filter(d => parts.contains(partOf(d)))
+    if (dirs.isEmpty) read(spark).limit(0)
+    else spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  def readSnapshot(spark: SparkSession, snapshotId: Long): DataFrame = {
+    val dirs = snapshotDirs(snapshotId).map(d => s"$root/$d")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Relative dirs first written by snapshot `k` (diagnostics/tests: how much
+    * did this commit physically rewrite?).
+    */
+  def dirsWrittenBy(snapshotId: Long): Seq[String] =
+    snapshotDirs(snapshotId).filter(_.startsWith(s"data/s$snapshotId/"))
+}
+
 /** Bucketed-table helpers (SURVEY.md §4 / builder mandate "bucketing for
   * co-located joins"): records written `bucketBy(doc_id)` join pair ids (or
   * each other) WITHOUT a shuffle on the bucketed side — at 100 TB the

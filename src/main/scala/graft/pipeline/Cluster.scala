@@ -105,6 +105,32 @@ object Cluster {
   def mergeEdges(labels: DataFrame, newEdges: DataFrame): DataFrame = {
     val spark = labels.sparkSession
     import spark.implicits._
+    val lab = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("lab"))
+    val d = mergeDelta(labels, newEdges)
+    // relabel old docs (untouched clusters miss the join and keep labels)
+    val updatedOld = lab.join(d.relabel, Seq("lab"), "left")
+      .select($"id".as("doc_id"), coalesce($"new_lab", $"lab").as("cluster_id"))
+    updatedOld.unionByName(d.added)
+  }
+
+  /** The DELTA form of `mergeEdges`: the relabel map and the new docs, without
+    * touching (joining, rewriting) the full label set. `relabel` covers every
+    * label whose cluster the batch AFFECTS — rows with that `lab` must move to
+    * `new_lab`, rows with any other label are untouched — so a partitioned
+    * label store can rewrite only the partitions holding `relabel.lab` values
+    * plus the new docs' labels (IncrementalLink.linkStream). Identity rows
+    * (lab = new_lab) are kept: their partitions GAIN rows from merged-in
+    * clusters and must still be rewritten.
+    *
+    * @return relabel: (lab, new_lab); added: (doc_id, cluster_id) for edge
+    *         endpoints absent from `labels` (edge-free new docs are the
+    *         caller's to add — this function only sees the edge batch)
+    */
+  case class MergeDelta(relabel: DataFrame, added: DataFrame)
+
+  def mergeDelta(labels: DataFrame, newEdges: DataFrame): MergeDelta = {
+    val spark = labels.sparkSession
+    import spark.implicits._
 
     val lab = labels.select(col(labels.columns(0)).as("id"), col(labels.columns(1)).as("lab"))
     val e = newEdges.select(col(newEdges.columns(0)).as("ea"), col(newEdges.columns(1)).as("eb"))
@@ -122,14 +148,11 @@ object Cluster {
     val relabel = connectedComponents(contracted)
       .select(col("doc_id").as("lab"), col("cluster_id").as("new_lab"))
 
-    // ③ relabel old docs (untouched clusters miss the join and keep labels);
-    //    new docs enter with their (possibly relabeled) own id
+    // ③ new docs enter with their (possibly relabeled) own id
     val newDocs = endLab.join(lab.select($"id"), Seq("id"), "left_anti")
-    val updatedOld = lab.join(relabel, Seq("lab"), "left")
+    val added = newDocs.join(relabel, Seq("lab"), "left")
       .select($"id".as("doc_id"), coalesce($"new_lab", $"lab").as("cluster_id"))
-    val addedNew = newDocs.join(relabel, Seq("lab"), "left")
-      .select($"id".as("doc_id"), coalesce($"new_lab", $"lab").as("cluster_id"))
-    updatedOld.unionByName(addedNew)
+    MergeDelta(relabel, added)
   }
 
   /** Partition-local union-find contraction: within each partition, replace

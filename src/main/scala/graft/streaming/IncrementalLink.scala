@@ -114,11 +114,14 @@ object IncrementalLink {
     */
   /** @param clustersDir when set, a complete (doc_id, cluster_id) labeling is
     *                     maintained under this path across micro-batches via
-    *                     `Cluster.mergeEdges` — each batch's match edges fold
+    *                     `Cluster.mergeDelta` — each batch's match edges fold
     *                     into the existing labels at DELTA cost (contracted
-    *                     CC over affected clusters only), instead of a
-    *                     corpus-wide CC recompute per batch. Labels equal the
-    *                     batch pipeline's CC over all edges so far
+    *                     CC over affected clusters only), and the commit
+    *                     rewrites ONLY the label partitions holding affected
+    *                     clusters (`HashPartitionedTable.overwritePartitions`,
+    *                     labels hash-partitioned on cluster_id into
+    *                     `nClusterBuckets`) — never the whole labeling. Labels
+    *                     equal the batch pipeline's CC over all edges so far
     *                     (BucketedCorpusSpec).
     */
   def linkStream(
@@ -129,7 +132,8 @@ object IncrementalLink {
       checkpointDir: String,
       corpusTable: Option[String] = None,
       nBuckets: Int = 8,
-      clustersDir: Option[String] = None): StreamingQuery = {
+      clustersDir: Option[String] = None,
+      nClusterBuckets: Int = 8): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -137,17 +141,37 @@ object IncrementalLink {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val newRecords = ErPipeline.extract(batch, config).toDF()
-          .localCheckpoint(true).as[ErPipeline.CleanRecord]
+        val newRecords = graft.io.Persist.truncate(
+          ErPipeline.extract(batch, config).toDF()).as[ErPipeline.CleanRecord]
         if (!newRecords.isEmpty) {
-          val newBlocks = ErPipeline.block(newRecords)
-            .toDF().localCheckpoint(true).as[ErPipeline.BlockRow]
+          // blocking scheme = the config's lookup flags, SAME as batch
+          // LinkJob stage ② (ADVICE r3: a lookup-flagged config must stream
+          // the same candidate set it links in batch)
+          val keyers = graft.pipeline.Blocking.fromConfig(config)
+          val newBlocks = graft.io.Persist.truncate(
+            ErPipeline.block(newRecords, keyers).toDF()).as[ErPipeline.BlockRow]
           val recordsDir = s"$corpusDir/records"
           val blocksDir = s"$corpusDir/blocks"
           val hasCorpus = corpusTable match {
             case Some(tn) => spark.catalog.tableExists(tn)
             case None     => new java.io.File(s"$recordsDir/_SUCCESS").exists()
           }
+          // the accumulated corpus records (previous batches only — this
+          // batch's append happens below): scoring's b-side, and the
+          // already-seen doc_id set for singleton detection. doc_id-bucketed
+          // when a table name is configured, so both uses leave it in place.
+          val corpusRecs: Option[Dataset[ErPipeline.CleanRecord]] =
+            if (!hasCorpus) None
+            else Some((corpusTable match {
+              case Some(tn) =>
+                // the catalog caches the relation's file listing across
+                // micro-batches; without a refresh the read misses the
+                // previous batch's append and its pairs silently drop at
+                // the inner props join
+                spark.catalog.refreshTable(tn)
+                spark.table(tn) // doc_id-bucketed: b-join is exchange-free
+              case None => spark.read.parquet(recordsDir)
+            }).as[ErPipeline.CleanRecord])
 
           // new-vs-new pairs score against the (small, pinned) batch records;
           // new-vs-old pairs score with the a-side = batch, b-side = corpus —
@@ -156,9 +180,9 @@ object IncrementalLink {
           // micro-batch and discard its bucketed distribution)
           val (nnPairs, _) = ErPipeline.pairs(newBlocks)
           val scoredNew = ErPipeline.score(nnPairs, newRecords, config)
-          val scored =
-            if (!hasCorpus) scoredNew
-            else {
+          val scored = corpusRecs match {
+            case None => scoredNew
+            case Some(corpus) =>
               val oldBlocks = (corpusTable match {
                 case Some(tn) =>
                   // blocks bucketed on key: the per-batch linkPairs groupBy
@@ -168,50 +192,71 @@ object IncrementalLink {
                 case None => spark.read.parquet(blocksDir)
               }).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
-              val corpus = (corpusTable match {
-                case Some(tn) =>
-                  // the catalog caches the relation's file listing across
-                  // micro-batches; without a refresh the read misses the
-                  // previous batch's append and its pairs silently drop at
-                  // the inner props join
-                  spark.catalog.refreshTable(tn)
-                  spark.table(tn) // doc_id-bucketed: b-join is exchange-free
-                case None => spark.read.parquet(recordsDir)
-              }).as[ErPipeline.CleanRecord]
               scoredNew.unionByName(
                 ErPipeline.score(noPairs, newRecords, corpus, config))
-            }
+          }
           // linkPairs keeps (new, old) orientation; normalize to (min, max)
           // so streamed edges equal the batch pipeline's bit-for-bit
-          val batchEdges = ErPipeline.matchEdges(scored, config)
-            .select(least(col("a_id"), col("b_id")).as("a_id"),
-              greatest(col("a_id"), col("b_id")).as("b_id"))
-            .localCheckpoint(true)
+          val batchEdges = graft.io.Persist.truncate(
+            ErPipeline.matchEdges(scored, config)
+              .select(least(col("a_id"), col("b_id")).as("a_id"),
+                greatest(col("a_id"), col("b_id")).as("b_id")))
           batchEdges.write.mode("append").parquet(edgesDir)
 
           // incremental transitive clusters: fold this batch's edges into the
-          // standing labels (delta-cost mergeEdges), add the batch's
-          // edge-free docs as singletons, commit through the Iceberg-layout
-          // table — atomic snapshot-pointer swap, and every batch's labeling
-          // stays time-travelable by snapshot id (cluster-evolution lineage)
+          // standing labels (delta-cost mergeDelta) and rewrite only the
+          // affected label partitions — every batch still commits an atomic,
+          // time-travelable snapshot (cluster-evolution lineage), but the
+          // write is O(affected clusters), not O(corpus) (VERDICT r3 #2)
           clustersDir.foreach { dir =>
-            val tbl = new graft.io.PartitionedParquetTable(dir)
-            val merged = tbl.currentSnapshot match {
-              case None    => graft.pipeline.Cluster.mergeEdges(
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("doc_id",
-                      org.apache.spark.sql.types.StringType),
-                    org.apache.spark.sql.types.StructField("cluster_id",
-                      org.apache.spark.sql.types.StringType)))),
-                batchEdges)
-              case Some(_) => graft.pipeline.Cluster.mergeEdges(tbl.read(spark), batchEdges)
+            val tbl = new graft.io.HashPartitionedTable(dir, "cluster_id", nClusterBuckets)
+            // edge-free new docs enter as singletons; membership check runs
+            // against the doc_id-bucketed corpus (previous batches), not the
+            // cluster_id-partitioned labels — the corpus side stays in place
+            def singlesAgainst(seen: Option[DataFrame]): DataFrame = {
+              val fresh = seen match {
+                case None      => newRecords.toDF().select(col("doc_id"))
+                case Some(ids) => newRecords.toDF().select(col("doc_id"))
+                  .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              }
+              fresh.select(col("doc_id"), col("doc_id").as("cluster_id"))
             }
-            val singletons = newRecords.toDF().select(col("doc_id"))
-              .join(merged.select(col("doc_id")), Seq("doc_id"), "left_anti")
-              .select(col("doc_id"), col("doc_id").as("cluster_id"))
-            tbl.overwrite(merged.unionByName(singletons))
+            tbl.currentSnapshot match {
+              case None =>
+                // first batch: full labeling = CC over the batch's edges,
+                // plus this batch's edge-free docs as their own clusters
+                val labeled = graft.pipeline.Cluster.connectedComponents(batchEdges)
+                  .select(col("doc_id"), col("cluster_id"))
+                val singles = singlesAgainst(Some(labeled))
+                tbl.overwrite(labeled.unionByName(singles))
+              case Some(_) =>
+                val labels = tbl.read(spark)
+                val delta = graft.pipeline.Cluster.mergeDelta(labels, batchEdges)
+                val relabel = graft.io.Persist.truncate(delta.relabel)
+                val added = graft.io.Persist.truncate(delta.added)
+                val singles = graft.io.Persist.truncate(
+                  singlesAgainst(corpusRecs.map(_.toDF()))
+                    .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                    .select(col("doc_id"), col("cluster_id")))
+                // affected partitions: every relabeled cluster's source and
+                // target labels, plus the new docs' own labels — a cluster's
+                // members all live in hash(cluster_id)'s partition, so this
+                // driver-side set (≤ nClusterBuckets ints) is exact
+                val affected = relabel.select(tbl.partitionExpr(col("lab")).as("p"))
+                  .union(relabel.select(tbl.partitionExpr(col("new_lab")).as("p")))
+                  .union(added.select(tbl.partitionExpr(col("cluster_id")).as("p")))
+                  .union(singles.select(tbl.partitionExpr(col("cluster_id")).as("p")))
+                  .distinct().collect().map(_.getInt(0)).toSet
+                if (affected.nonEmpty) {
+                  val updated = tbl.readPartitions(spark, affected)
+                    .withColumnRenamed("cluster_id", "lab")
+                    .join(relabel, Seq("lab"), "left")
+                    .select(col("doc_id"),
+                      coalesce(col("new_lab"), col("lab")).as("cluster_id"))
+                  tbl.overwritePartitions(
+                    updated.unionByName(added).unionByName(singles), affected)
+                }
+            }
           }
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later

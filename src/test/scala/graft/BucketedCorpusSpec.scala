@@ -81,7 +81,7 @@ class BucketedCorpusSpec extends SparkSpec {
       val q = IncrementalLink.linkStream(
         mem.toDS(), MatchConfig.fixture,
         s"$base/corpus", s"$base/edges", s"$base/ckpt", corpusTable = table,
-        clustersDir = Some(s"$base/clusters"))
+        clustersDir = Some(s"$base/clusters"), nClusterBuckets = 8)
       try {
         mem.addData(doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"))
         q.processAllAvailable()
@@ -102,7 +102,7 @@ class BucketedCorpusSpec extends SparkSpec {
       // incrementally maintained clusters == full CC over all edges, with
       // edge-free docs as singletons; every batch's labeling is
       // time-travelable through the snapshot table
-      val ctbl = new graft.io.PartitionedParquetTable(s"$baseB/clusters")
+      val ctbl = new graft.io.HashPartitionedTable(s"$baseB/clusters", "cluster_id", 8)
       assert(ctbl.currentSnapshot === Some(3L)) // one snapshot per batch
       val got = ctbl.read(spark).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -113,6 +113,18 @@ class BucketedCorpusSpec extends SparkSpec {
       val want = allDocs.map(d => d -> full.getOrElse(d, d)).toMap
       assert(got === want)
       assert(ctbl.readSnapshot(spark, 1L).count() === 2L) // batch-1 labeling kept
+
+      // partial rewrite (VERDICT r3 #2): batch 3 merges d3 into d1's cluster,
+      // touching the partitions of labels {d1, d3} only — the commit must
+      // physically rewrite at most those 2 of 8 partitions, while the x1/x2
+      // partitions keep riding on files from earlier snapshots
+      val s3dirs = ctbl.dirsWrittenBy(3L)
+      assert(s3dirs.nonEmpty && s3dirs.size <= 2,
+        s"batch 3 should rewrite <= 2 label partitions, wrote: $s3dirs")
+      val manifest3 = Files.readString(
+        java.nio.file.Paths.get(s"$baseB/clusters/snapshots/v3.json"))
+      assert(manifest3.contains("data/s1/") || manifest3.contains("data/s2/"),
+        s"untouched partitions must keep earlier snapshots' files: $manifest3")
 
       // the table really is bucketed and accumulated across batches
       // (refresh: the catalog's cached file listing predates the last append)
