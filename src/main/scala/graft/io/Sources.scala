@@ -109,12 +109,16 @@ object Sources {
     *    value) bindings named by `idVar`/`propVar`/`valueVar`; property IRIs
     *    map to record properties through `variables`.
     *
-    * Paging mirrors Duke's page-size loop: `LIMIT pageSize OFFSET k` is
-    * appended per page until a short page returns. The HTTP fetch runs on
-    * the DRIVER — a Duke-style SPARQL result set is config/record-shaped,
-    * not corpus-shaped; corpus-scale triple data arrives via `ntriples`
-    * dumps instead (SURVEY.md §2.1). Tested against an in-process loopback
-    * HTTP server (SourcesSpec) — no external endpoint required.
+    * Paging mirrors Duke's page-size loop — `LIMIT pageSize OFFSET k` per
+    * page until a short page returns — but the page fetches are DISTRIBUTED
+    * (VERDICT r3 "What's wrong #3"): offsets go out as a Dataset in rounds of
+    * `pagesPerRound`, each executor task fetches its page over HTTP and
+    * emits that page's triples, and the driver sees only per-page row COUNTS
+    * (to decide when the stream is exhausted) — never the result set itself.
+    * `pageSize <= 0` keeps the single unpaged driver-side request
+    * (config/reference-shaped result sets). Tested against an in-process
+    * loopback HTTP server incl. a multi-round distributed fetch (SourcesSpec)
+    * — no external endpoint required.
     */
   def sparql(
       spark: SparkSession,
@@ -126,18 +130,48 @@ object Sources {
       propVar: String = "p",
       valueVar: String = "o",
       pageSize: Int = 0,
-      cleaners: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      cleaners: Map[String, Seq[String]] = Map.empty,
+      pagesPerRound: Int = 32): DataFrame = {
     import spark.implicits._
-    val rows = Sparql.fetchAll(endpoint, query, pageSize)
-    val triples: Seq[(String, String, String)] =
+    // binding rows -> (subject, key, value) triples; runs executor-side in
+    // the paged path (captures only small serializable config values)
+    val wantedVars = variables.keySet
+    def toTriples(rows: Seq[Map[String, String]]): Seq[(String, String, String)] =
       if (tripleMode)
         rows.flatMap(r => for {
           s <- r.get(idVar); p <- r.get(propVar); o <- r.get(valueVar)
         } yield (s, p, o))
       else
         rows.flatMap(r => r.get(idVar).toSeq.flatMap(s =>
-          variables.keys.flatMap(v => r.get(v).map(o => (s, v, o)))))
-    val keyed = triples.toDF("subject", "key", "object")
+          wantedVars.toSeq.sorted.flatMap(v => r.get(v).map(o => (s, v, o)))))
+
+    val keyed: DataFrame =
+      if (pageSize <= 0)
+        toTriples(Sparql.fetch(endpoint, query)).toDF("subject", "key", "object")
+      else {
+        val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        var off = 0L
+        var exhausted = false
+        while (!exhausted) {
+          val offsets = (0 until pagesPerRound).map(i => off + i.toLong * pageSize)
+          // pin each round: the HTTP fetches run exactly once, then both the
+          // count read and the triple union serve from stored blocks
+          val fetched = Persist.truncate(offsets.toDS()
+            .repartition(pagesPerRound) // one page per task
+            .map { o =>
+              val rows = Sparql.fetch(endpoint, s"$query LIMIT $pageSize OFFSET $o")
+              (o, rows.size, toTriples(rows))
+            }.toDF("offset", "n", "triples"))
+          rounds += fetched
+            .select(explode(col("triples")).as("t"))
+            .select(col("t._1").as("subject"), col("t._2").as("key"), col("t._3").as("object"))
+          // a short (or empty) page means the result stream ended this round
+          exhausted = fetched.select(col("n")).as[Int].collect().exists(_ < pageSize)
+          off += pagesPerRound.toLong * pageSize
+        }
+        rounds.reduce(_ unionByName _)
+      }
+
     val aggs = variables.toSeq.sortBy(_._2).map { case (k, name) =>
       collect_list(when(col("key") === k, col("object"))).as(name)
     }

@@ -31,7 +31,12 @@ object LinkJob {
     *                   status `verified` (forced edge, Duke ASSERTED/OWNSAME)
     *                   or `retracted` (edge suppressed even above threshold,
     *                   Duke RETRACTED/DIFFERENT). Applied at the edges stage,
-    *                   so clustering and resume see the overridden graph.
+    *                   so clustering and resume see the overridden graph —
+    *                   which also means overrides are FROZEN into a completed
+    *                   outDir: re-running with a changed overrides table
+    *                   serves the old edge set from the resume manifest. New
+    *                   decisions need a fresh outDir (or deleting the
+    *                   edges/clusters/cc_iter_* manifest lines).
     */
   def run(
       spark: SparkSession,
@@ -80,18 +85,21 @@ object LinkJob {
     val classified = m.stage(spark, "classified") {
       ErPipeline.classify(scored, config)
     }
+    // normalize override orientation once (cached for its two reads inside
+    // the edges stage, released right after the stage materializes — ADVICE
+    // r3: a leaked cache entry pins executor memory for the whole job)
+    val normOverrides = overrides.map(ov => ov.select(
+      least($"a_id", $"b_id").as("a_id"),
+      greatest($"a_id", $"b_id").as("b_id"),
+      lower($"status").as("status")).cache())
     val edges = m.stage(spark, "edges") {
       val inferred = classified.where($"bucket" === "match").select($"a_id", $"b_id")
-      overrides match {
+      normOverrides match {
         case None => inferred
-        case Some(ov) =>
-          // normalize override orientation once; verified edges join the
-          // graph even if never scored, retracted pairs leave it even above
-          // threshold (human decisions outrank the model — Duke LinkDatabase)
-          val norm = ov.select(
-            least($"a_id", $"b_id").as("a_id"),
-            greatest($"a_id", $"b_id").as("b_id"),
-            lower($"status").as("status")).cache()
+        case Some(norm) =>
+          // verified edges join the graph even if never scored, retracted
+          // pairs leave it even above threshold (human decisions outrank the
+          // model — Duke LinkDatabase)
           val verified = norm.where($"status" === "verified").select($"a_id", $"b_id")
           val retracted = norm.where($"status" === "retracted").select($"a_id", $"b_id")
           inferred.unionByName(verified).distinct()
@@ -99,6 +107,7 @@ object LinkJob {
             .where($"__r".isNull).select($"a_id", $"b_id")
       }
     }
+    normOverrides.foreach(_.unpersist())
 
     // ⑥ connected components with per-iteration parquet checkpoints:
     //    resume continues from the latest cc_iter_<i> present in the manifest.

@@ -55,6 +55,12 @@ object ConfigTuner {
     val b = records.toDF("b_id", "b_props")
     val joined = graft.io.Persist.truncate(
       labeled.select($"a_id", $"b_id", $"is_match").join(a, "a_id").join(b, "b_id"))
+    // fail fast with a real message: on an empty evaluation set the fitness
+    // sums would return NULL and every candidate would NPE at getLong
+    // (ADVICE r3); the pin above makes this check one cheap cached read
+    require(!joined.isEmpty,
+      "ConfigTuner needs a non-empty evaluation set: every labeled (a_id, b_id) " +
+        "pair must join `records` on BOTH ids — got zero joined pairs")
 
     def scoreCol(cfg: MatchConfig) = {
       val kids = cfg.properties.flatMap(p =>

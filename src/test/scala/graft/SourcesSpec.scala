@@ -152,7 +152,7 @@ class SourcesSpec extends SparkSpec {
       // triple mode with Duke-style paging (LIMIT 2 OFFSET 0/2/4)
       val tri = Sources.sparql(spark, ep, "SELECT ?id ?p ?o WHERE {...}",
         idVar = "id", variables = Map("name" -> "nm", "phone" -> "ph"),
-        tripleMode = true, pageSize = 2)
+        tripleMode = true, pageSize = 2, pagesPerRound = 3)
       val triRows = tri.collect().map { r =>
         r.getString(0) -> ((r.getSeq[String](1).toSet, r.getSeq[String](2).toSet))
       }.toMap
@@ -160,6 +160,47 @@ class SourcesSpec extends SparkSpec {
         "a" -> ((Set("ANNA"), Set("111-22"))),
         "b" -> ((Set("BO"), Set.empty[String]))))
       assert(seenQueries.toArray.count(_.toString.contains("LIMIT")) === 3) // 2 pages + empty stop
+    } finally server.stop(0)
+  }
+
+  test("sparql distributed paging: multi-round executor-side fetch (VERDICT r3 #3)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // 9 bindings served LIMIT/OFFSET-faithfully; pageSize=2 × pagesPerRound=2
+    // -> 3 rounds (offsets 0,2 | 4,6 | 8,10), last round short+empty. The
+    // driver only ever collects per-page COUNTS; page bodies flow through
+    // executor map tasks into the triples frame.
+    def cell(v: String) = s"""{"type":"literal","value":"$v"}"""
+    val all = (0 until 9).map(i =>
+      s"""{"id":${cell(s"s$i")},"p":${cell("name")},"o":${cell(s"N$i")}}""")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    server.createContext("/sparql", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val q = java.net.URLDecoder.decode(
+          x.getRequestURI.getRawQuery.stripPrefix("query="), "UTF-8")
+        seen.add(q)
+        val (lim, off) =
+          (q.split("LIMIT ")(1).trim.split(" ")(0).toInt, q.split("OFFSET ")(1).trim.toInt)
+        val page = all.slice(off, off + lim)
+        val resp = s"""{"head":{"vars":["id","p","o"]},
+          |"results":{"bindings":[${page.mkString(",")}]}}""".stripMargin
+        val bytes = resp.getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/sparql-results+json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    server.start()
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}/sparql"
+    try {
+      val df = Sources.sparql(spark, ep, "SELECT ?id ?p ?o WHERE {...}",
+        idVar = "id", variables = Map("name" -> "nm"),
+        tripleMode = true, pageSize = 2, pagesPerRound = 2)
+      val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+      assert(got === (0 until 9).map(i => s"s$i" -> Set(s"N$i")).toMap)
+      // exactly 3 rounds × 2 pages — no re-fetch on the count read vs the
+      // triple union (the round pin makes each page one HTTP request)
+      assert(seen.size === 6, s"expected 6 page fetches, saw: ${seen.size}")
     } finally server.stop(0)
   }
 
