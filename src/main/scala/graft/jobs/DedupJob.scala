@@ -61,17 +61,19 @@ object DedupJob {
     //    ~2⁻¹²⁸ per pair — ~10⁻¹⁵ cumulative even at 10¹² docs.
     val grouped = m.stage(spark, "grouped") {
       val fps = TrainingOps.shingleFps(documents.select($"doc_id", $"text"))
-      fps.withColumn("rep",
+      val withRep = fps.withColumn("rep",
         min($"doc_id").over(Window.partitionBy(md5(concat_ws(",", $"fps")))))
+      // ② band keys ride along on REPRESENTATIVE rows in the same pass: the
+      // old separate "banded" stage re-wrote every rep's fps array plus its
+      // bands to parquet and cost one more write+count action — both bands
+      // and rep flags are narrow projections of this very scan (VERDICT r3
+      // #8: manifest stages are serial fixed cost at any corpus size)
+      withRep.select(Seq($"doc_id", $"fps", $"rep") ++
+        (0 until cfg.minhashBands).map(j => expr(
+          s"CASE WHEN doc_id = rep THEN ${TrainingOps.minhashBandSpark(j)} END")
+          .as(s"band$j")): _*)
     }
-
-    // ② band keys over representatives only
-    val banded = m.stage(spark, "banded") {
-      grouped.where($"doc_id" === $"rep")
-        .selectExpr(Seq("doc_id", "fps") ++
-          (0 until cfg.minhashBands).map(j =>
-            s"${TrainingOps.minhashBandSpark(j)} AS band$j"): _*)
-    }
+    val banded = grouped.where($"doc_id" === $"rep")
 
     // ③ candidate rep pairs through the skew discipline (stats -> metrics)
     val candDf = m.stage(spark, "candidates") {
@@ -112,22 +114,23 @@ object DedupJob {
           ($"doc_id" === coalesce($"cc", $"rep")).as("keep"))
     }
 
-    // summary metrics in four actions, not seven: `grouped` carries one row
-    // per doc (docs + exact groups in one agg), `decisions` one row per doc
-    // (kept/dropped/clusters in one agg) — at bench scale the driver-side
-    // action count is a fixed serial cost that caps scaling efficiency
-    val g = grouped
-      .agg(count("*"), count(when($"doc_id" === $"rep", 1))).collect()(0)
-    val (nDocs, nGroups) = (g.getLong(0), g.getLong(1))
+    // summary metrics in TWO actions: docs/candidates/edges counts come from
+    // the manifest rows recorded when each stage landed (no re-count jobs),
+    // leaving one agg over `grouped` (exact groups) and one over `decisions`
+    // (kept/dropped/clusters) — at bench scale the driver-side action count
+    // is a fixed serial cost that caps scaling efficiency
+    val stageRows = m.completedRows
+    val nGroups = grouped
+      .agg(count(when($"doc_id" === $"rep", 1))).collect()(0).getLong(0)
     val d = decisions
       .agg(count(when($"keep", 1)), count(when(!$"keep", 1)),
         countDistinct($"cluster_id")).collect()(0)
     val (nKept, nDropped, nClusters) = (d.getLong(0), d.getLong(1), d.getLong(2))
     val counts = Map(
-      "docs" -> nDocs,
+      "docs" -> stageRows("grouped"),
       "exact_groups" -> nGroups,
-      "candidates" -> candDf.count(),
-      "edges" -> edges.count(),
+      "candidates" -> stageRows("candidates"),
+      "edges" -> stageRows("edges"),
       "clusters" -> nClusters,
       "kept" -> nKept,
       "dropped" -> nDropped)
