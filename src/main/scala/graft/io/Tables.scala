@@ -71,6 +71,53 @@ class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
     val dirs = snapshotDirs(snapshotId).map(d => s"$root/$d")
     spark.read.parquet(dirs: _*)
   }
+
+  /** Iceberg `expireSnapshots` analog — see [[SnapshotMaintenance.expire]]. */
+  def expireSnapshots(keepLast: Int = 1): Unit =
+    SnapshotMaintenance.expire(root, keepLast)
+}
+
+/** Iceberg `expireSnapshots` analog for the offline snapshot layout: drop
+  * manifests older than the newest `keepLast` snapshots and physically delete
+  * every data dir that NO retained snapshot references. Without expiry a
+  * long-running stream accumulates one data dir per commit forever — at 10⁹
+  * accumulated docs the file listing itself becomes the read bottleneck; with
+  * expiry storage is bounded by keepLast × live data (time travel is
+  * correspondingly limited to the retained window — the standard Iceberg
+  * trade, and why this is an explicit maintenance call, not automatic).
+  */
+object SnapshotMaintenance {
+  def expire(root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val rootP = Paths.get(root)
+    val currentP = rootP.resolve("CURRENT")
+    if (!Files.exists(currentP)) return
+    val current = Files.readString(currentP).trim.toLong
+    val cutoff = current - keepLast + 1
+    def dirsOf(k: Long): Seq[String] = {
+      val f = rootP.resolve(s"snapshots/v$k.json")
+      if (!Files.exists(f)) Seq.empty
+      else "\"data/[^\"]+\"".r.findAllIn(Files.readString(f))
+        .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    }
+    val retained = (cutoff to current).flatMap(dirsOf).toSet
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    for (k <- 1L until cutoff) {
+      dirsOf(k).filterNot(retained).foreach(d => deleteTree(rootP.resolve(d)))
+      Files.deleteIfExists(rootP.resolve(s"snapshots/v$k.json"))
+    }
+    // prune data/s<k> parents left empty after partition-dir deletion
+    val dataP = rootP.resolve("data")
+    if (Files.exists(dataP)) {
+      val kids = dataP.toFile.listFiles()
+      if (kids != null) kids.filter(d => d.isDirectory && {
+        val inner = d.listFiles(); inner == null || inner.isEmpty
+      }).foreach(d => Files.deleteIfExists(d.toPath))
+    }
+  }
 }
 
 /** Hash-partitioned variant of [[PartitionedParquetTable]]: rows land in
@@ -182,6 +229,14 @@ class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: 
     */
   def dirsWrittenBy(snapshotId: Long): Seq[String] =
     snapshotDirs(snapshotId).filter(_.startsWith(s"data/s$snapshotId/"))
+
+  /** Iceberg `expireSnapshots` analog — see [[SnapshotMaintenance.expire]].
+    * Partition dirs still referenced by retained snapshots survive even when
+    * the snapshot that WROTE them expires (partial rewrites keep old
+    * partitions live across many commits).
+    */
+  def expireSnapshots(keepLast: Int = 1): Unit =
+    SnapshotMaintenance.expire(root, keepLast)
 }
 
 /** Bucketed-table helpers (SURVEY.md §4 / builder mandate "bucketing for

@@ -113,8 +113,10 @@ object Cluster {
     updatedOld.unionByName(d.added)
   }
 
-  /** The DELTA form of `mergeEdges`: the relabel map and the new docs, without
-    * touching (joining, rewriting) the full label set. `relabel` covers every
+  /** The DELTA form of `mergeEdges`: the relabel map and the new docs. Cost =
+    * one scan of `labels` (the endpoint-label lookup join — tiny probe side)
+    * plus CC over the contracted affected-cluster graph; the full label set
+    * is never rewritten or re-clustered. `relabel` covers every
     * label whose cluster the batch AFFECTS — rows with that `lab` must move to
     * `new_lab`, rows with any other label are untouched — so a partitioned
     * label store can rewrite only the partitions holding `relabel.lab` values

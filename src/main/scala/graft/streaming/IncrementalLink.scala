@@ -123,6 +123,12 @@ object IncrementalLink {
     *                     `nClusterBuckets`) — never the whole labeling. Labels
     *                     equal the batch pipeline's CC over all edges so far
     *                     (BucketedCorpusSpec).
+    * @param labelSnapshotsToKeep when set, expire label snapshots after each
+    *                     commit keeping the newest N (bounded storage for
+    *                     unbounded streams; time travel limited to the
+    *                     retained window — shared partition dirs survive as
+    *                     long as any retained snapshot references them).
+    *                     None (default) keeps every batch's labeling.
     */
   def linkStream(
       stream: Dataset[Doc],
@@ -133,7 +139,8 @@ object IncrementalLink {
       corpusTable: Option[String] = None,
       nBuckets: Int = 8,
       clustersDir: Option[String] = None,
-      nClusterBuckets: Int = 8): StreamingQuery = {
+      nClusterBuckets: Int = 8,
+      labelSnapshotsToKeep: Option[Int] = None): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -257,6 +264,7 @@ object IncrementalLink {
                     updated.unionByName(added).unionByName(singles), affected)
                 }
             }
+            labelSnapshotsToKeep.foreach(tbl.expireSnapshots)
           }
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later

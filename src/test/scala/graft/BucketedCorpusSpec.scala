@@ -78,10 +78,12 @@ class BucketedCorpusSpec extends SparkSpec {
 
     def run(base: String, table: Option[String]): Set[(String, String)] = {
       val mem = MemoryStream[Doc]
+      // the parquet-path run also exercises per-batch label-snapshot expiry
       val q = IncrementalLink.linkStream(
         mem.toDS(), MatchConfig.fixture,
         s"$base/corpus", s"$base/edges", s"$base/ckpt", corpusTable = table,
-        clustersDir = Some(s"$base/clusters"), nClusterBuckets = 8)
+        clustersDir = Some(s"$base/clusters"), nClusterBuckets = 8,
+        labelSnapshotsToKeep = if (table.isEmpty) Some(1) else None)
       try {
         mem.addData(doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"))
         q.processAllAvailable()
@@ -125,6 +127,16 @@ class BucketedCorpusSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$baseB/clusters/snapshots/v3.json"))
       assert(manifest3.contains("data/s1/") || manifest3.contains("data/s2/"),
         s"untouched partitions must keep earlier snapshots' files: $manifest3")
+
+      // the parquet run streamed with labelSnapshotsToKeep=1: only the final
+      // snapshot's manifest remains, and its labeling still equals `want`
+      val ptbl = new graft.io.HashPartitionedTable(s"$baseP/clusters", "cluster_id", 8)
+      assert(ptbl.currentSnapshot === Some(3L))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$baseP/clusters/snapshots/v1.json")))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$baseP/clusters/snapshots/v2.json")))
+      val gotP = ptbl.read(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotP === want)
 
       // the table really is bucketed and accumulated across batches
       // (refresh: the catalog's cached file listing predates the last append)
