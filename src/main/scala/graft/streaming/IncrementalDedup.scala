@@ -44,6 +44,14 @@ object IncrementalDedup {
         .map(j => s"band$j").mkString(",")})) AS (bix, bval)")
       .selectExpr("CAST(doc_id AS STRING) AS doc_id", "concat(bix, ':', bval) AS key")
 
+  /** @param clustersDir when set, a complete (doc_id, cluster_id) near-dup
+    *                     cluster labeling is maintained across micro-batches —
+    *                     the streaming analog of `DedupJob`'s decisions stage:
+    *                     keep = (doc_id == cluster_id). Same partitioned
+    *                     delta-commit machinery as `linkStream` (LabelCommit);
+    *                     labels equal full CC over all streamed edges, with
+    *                     edge-free docs as singletons (IncrementalDedupSpec).
+    */
   def nearDupStream(
       stream: DataFrame, // streaming (doc_id: bigint, text: string)
       corpusDir: String,
@@ -51,7 +59,10 @@ object IncrementalDedup {
       checkpointDir: String,
       corpusTable: Option[String] = None,
       nBuckets: Int = 8,
-      cfg: TrainingOps.Config = TrainingOps.config): StreamingQuery = {
+      cfg: TrainingOps.Config = TrainingOps.config,
+      clustersDir: Option[String] = None,
+      nClusterBuckets: Int = 8,
+      labelSnapshotsToKeep: Option[Int] = None): StreamingQuery = {
 
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -67,6 +78,16 @@ object IncrementalDedup {
             case Some(tn) => spark.catalog.tableExists(tn + "_bands")
             case None     => new java.io.File(s"$fpsDir/_SUCCESS").exists()
           }
+          // previous batches' fps (verify b-side + seen-id set for singleton
+          // detection); doc_id-bucketed when a table name is configured
+          val oldFps: Option[DataFrame] =
+            if (!hasCorpus) None
+            else Some(corpusTable match {
+              case Some(tn) =>
+                spark.catalog.refreshTable(tn + "_fps")
+                spark.table(tn + "_fps") // doc_id-bucketed: stays in place
+              case None => spark.read.parquet(fpsDir)
+            })
 
           val newBlocks = bandBlocks(newBanded).as[ErPipeline.BlockRow]
           val (nnPairs, _) = ErPipeline.pairs(newBlocks, cfg.pairCfg)
@@ -89,9 +110,9 @@ object IncrementalDedup {
               greatest($"a_id", $"b_id").as("b_id"), $"jacc_micro")
 
           val newEdges = verified(nnPairs.toDF(), newBanded.select($"doc_id", $"fps"))
-          val edges =
-            if (!hasCorpus) newEdges
-            else {
+          val edges = graft.io.Persist.truncate(oldFps match {
+            case None => newEdges
+            case Some(fpsTable) =>
               val oldBlocks = (corpusTable match {
                 case Some(tn) =>
                   spark.catalog.refreshTable(tn + "_bands")
@@ -99,15 +120,18 @@ object IncrementalDedup {
                 case None => spark.read.parquet(blocksDir)
               }).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
-              val oldFps = corpusTable match {
-                case Some(tn) =>
-                  spark.catalog.refreshTable(tn + "_fps")
-                  spark.table(tn + "_fps") // doc_id-bucketed: stays in place
-                case None => spark.read.parquet(fpsDir)
-              }
-              newEdges.unionByName(verified(noPairs.toDF(), oldFps))
-            }
+              newEdges.unionByName(verified(noPairs.toDF(), fpsTable))
+          })
           edges.write.mode("append").parquet(edgesDir)
+
+          // incremental near-dup clusters (keep = doc_id == cluster_id)
+          clustersDir.foreach { dir =>
+            LabelCommit.commit(spark, dir, nClusterBuckets,
+              edges.select($"a_id", $"b_id"),
+              newBanded.select($"doc_id"),
+              oldFps.map(_.select($"doc_id")),
+              labelSnapshotsToKeep)
+          }
 
           // grow the corpus (band rows keyed for linkPairs; fps for verify)
           corpusTable match {

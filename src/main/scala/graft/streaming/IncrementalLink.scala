@@ -20,6 +20,83 @@ import graft.pipeline.ErPipeline
   *    accumulated corpus (new-vs-all + new-vs-new), and appends match edges;
   *    the corpus itself grows by the batch (Duke's Database.index analog).
   */
+/** Per-micro-batch incremental cluster-label maintenance, shared by
+  * `IncrementalLink.linkStream` (match-edge clusters) and
+  * `IncrementalDedup.nearDupStream` (near-dup clusters): fold one batch's
+  * edges into the standing (doc_id, cluster_id) labeling via
+  * `Cluster.mergeDelta` and commit through a `HashPartitionedTable`
+  * partitioned on `hash(cluster_id)` — the write is O(affected clusters),
+  * never O(corpus), while every batch lands as an atomic, time-travelable
+  * snapshot (VERDICT r3 #2). Labels stay equal to a full CC over all edges
+  * so far, with edge-free docs as their own singleton clusters.
+  */
+private[streaming] object LabelCommit {
+
+  /** @param batchEdges (a_id, b_id) match edges, pinned by the caller
+    * @param newDocIds  one `doc_id` column: every doc in this batch
+    * @param seenIds    `doc_id`s already indexed by previous batches (read
+    *                   from the doc_id-bucketed corpus so the anti-join
+    *                   leaves the corpus in place — never from the
+    *                   cluster_id-partitioned labels); None = first batch
+    * @param keepSnapshots when set, expire label snapshots to the newest N
+    */
+  def commit(
+      spark: SparkSession,
+      dir: String,
+      nBuckets: Int,
+      batchEdges: DataFrame,
+      newDocIds: DataFrame,
+      seenIds: Option[DataFrame],
+      keepSnapshots: Option[Int]): Unit = {
+    val tbl = new graft.io.HashPartitionedTable(dir, "cluster_id", nBuckets)
+    // edge-free new docs enter as singletons labeled by their own id
+    def singlesAgainst(seen: Option[DataFrame]): DataFrame = {
+      val fresh = seen match {
+        case None      => newDocIds.select(col("doc_id"))
+        case Some(ids) => newDocIds.select(col("doc_id"))
+          .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      }
+      fresh.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    }
+    tbl.currentSnapshot match {
+      case None =>
+        // first batch: full labeling = CC over the batch's edges, plus this
+        // batch's edge-free docs as their own clusters
+        val labeled = graft.pipeline.Cluster.connectedComponents(batchEdges)
+          .select(col("doc_id"), col("cluster_id"))
+        tbl.overwrite(labeled.unionByName(singlesAgainst(Some(labeled))))
+      case Some(_) =>
+        val labels = tbl.read(spark)
+        val delta = graft.pipeline.Cluster.mergeDelta(labels, batchEdges)
+        val relabel = graft.io.Persist.truncate(delta.relabel)
+        val added = graft.io.Persist.truncate(delta.added)
+        val singles = graft.io.Persist.truncate(
+          singlesAgainst(seenIds)
+            .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id")))
+        // affected partitions: every relabeled cluster's source and target
+        // labels, plus the new docs' own labels — a cluster's members all
+        // live in hash(cluster_id)'s partition, so this driver-side set
+        // (≤ nBuckets ints) is exact
+        val affected = relabel.select(tbl.partitionExpr(col("lab")).as("p"))
+          .union(relabel.select(tbl.partitionExpr(col("new_lab")).as("p")))
+          .union(added.select(tbl.partitionExpr(col("cluster_id")).as("p")))
+          .union(singles.select(tbl.partitionExpr(col("cluster_id")).as("p")))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (affected.nonEmpty) {
+          val updated = tbl.readPartitions(spark, affected)
+            .withColumnRenamed("cluster_id", "lab")
+            .join(relabel, Seq("lab"), "left")
+            .select(col("doc_id"),
+              coalesce(col("new_lab"), col("lab")).as("cluster_id"))
+          tbl.overwritePartitions(
+            updated.unionByName(added).unionByName(singles), affected)
+        }
+    }
+    keepSnapshots.foreach(tbl.expireSnapshots)
+  }
+}
+
 object IncrementalLink {
 
   case class DedupDecision(doc_id: String, fingerprint: Long, duplicate_of: Option[String])
@@ -211,60 +288,12 @@ object IncrementalLink {
           batchEdges.write.mode("append").parquet(edgesDir)
 
           // incremental transitive clusters: fold this batch's edges into the
-          // standing labels (delta-cost mergeDelta) and rewrite only the
-          // affected label partitions — every batch still commits an atomic,
-          // time-travelable snapshot (cluster-evolution lineage), but the
-          // write is O(affected clusters), not O(corpus) (VERDICT r3 #2)
+          // standing labels, rewriting only affected partitions (LabelCommit)
           clustersDir.foreach { dir =>
-            val tbl = new graft.io.HashPartitionedTable(dir, "cluster_id", nClusterBuckets)
-            // edge-free new docs enter as singletons; membership check runs
-            // against the doc_id-bucketed corpus (previous batches), not the
-            // cluster_id-partitioned labels — the corpus side stays in place
-            def singlesAgainst(seen: Option[DataFrame]): DataFrame = {
-              val fresh = seen match {
-                case None      => newRecords.toDF().select(col("doc_id"))
-                case Some(ids) => newRecords.toDF().select(col("doc_id"))
-                  .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti")
-              }
-              fresh.select(col("doc_id"), col("doc_id").as("cluster_id"))
-            }
-            tbl.currentSnapshot match {
-              case None =>
-                // first batch: full labeling = CC over the batch's edges,
-                // plus this batch's edge-free docs as their own clusters
-                val labeled = graft.pipeline.Cluster.connectedComponents(batchEdges)
-                  .select(col("doc_id"), col("cluster_id"))
-                val singles = singlesAgainst(Some(labeled))
-                tbl.overwrite(labeled.unionByName(singles))
-              case Some(_) =>
-                val labels = tbl.read(spark)
-                val delta = graft.pipeline.Cluster.mergeDelta(labels, batchEdges)
-                val relabel = graft.io.Persist.truncate(delta.relabel)
-                val added = graft.io.Persist.truncate(delta.added)
-                val singles = graft.io.Persist.truncate(
-                  singlesAgainst(corpusRecs.map(_.toDF()))
-                    .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
-                    .select(col("doc_id"), col("cluster_id")))
-                // affected partitions: every relabeled cluster's source and
-                // target labels, plus the new docs' own labels — a cluster's
-                // members all live in hash(cluster_id)'s partition, so this
-                // driver-side set (≤ nClusterBuckets ints) is exact
-                val affected = relabel.select(tbl.partitionExpr(col("lab")).as("p"))
-                  .union(relabel.select(tbl.partitionExpr(col("new_lab")).as("p")))
-                  .union(added.select(tbl.partitionExpr(col("cluster_id")).as("p")))
-                  .union(singles.select(tbl.partitionExpr(col("cluster_id")).as("p")))
-                  .distinct().collect().map(_.getInt(0)).toSet
-                if (affected.nonEmpty) {
-                  val updated = tbl.readPartitions(spark, affected)
-                    .withColumnRenamed("cluster_id", "lab")
-                    .join(relabel, Seq("lab"), "left")
-                    .select(col("doc_id"),
-                      coalesce(col("new_lab"), col("lab")).as("cluster_id"))
-                  tbl.overwritePartitions(
-                    updated.unionByName(added).unionByName(singles), affected)
-                }
-            }
-            labelSnapshotsToKeep.foreach(tbl.expireSnapshots)
+            LabelCommit.commit(spark, dir, nClusterBuckets, batchEdges,
+              newRecords.toDF().select(col("doc_id")),
+              corpusRecs.map(_.toDF().select(col("doc_id"))),
+              labelSnapshotsToKeep)
           }
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later

@@ -48,7 +48,8 @@ class IncrementalDedupSpec extends SparkSpec {
     val q = IncrementalDedup.nearDupStream(
       mem.toDS().toDF("doc_id", "text"),
       s"$baseDir/corpus", s"$baseDir/edges", s"$baseDir/ckpt",
-      corpusTable = Some("graft_neardup_corpus"))
+      corpusTable = Some("graft_neardup_corpus"),
+      clustersDir = Some(s"$baseDir/clusters"))
     try {
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
@@ -65,6 +66,22 @@ class IncrementalDedupSpec extends SparkSpec {
       // corpus tables are bucketed and grew with every batch
       spark.catalog.refreshTable("graft_neardup_corpus_fps")
       assert(spark.table("graft_neardup_corpus_fps").count() === 7L)
+
+      // incrementally maintained near-dup clusters == full CC over all
+      // streamed edges, edge-free docs as singletons; keep = min member.
+      // This is DedupJob's decisions contract, maintained per micro-batch
+      // at affected-partition write cost (LabelCommit)
+      val ctbl = new graft.io.HashPartitionedTable(s"$baseDir/clusters", "cluster_id", 8)
+      assert(ctbl.currentSnapshot === Some(3L))
+      val gotLabels = ctbl.read(spark).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val full = graft.pipeline.Cluster.connectedComponents(
+        spark.read.parquet(s"$baseDir/edges").select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val allIds = (b1 ++ b2 ++ b3).map(_._1).toSet
+      assert(gotLabels === allIds.map(d => d -> full.getOrElse(d, d)).toMap)
+      // the dup family 1,2,3,10,11 keeps exactly doc 1; others keep themselves
+      assert(gotLabels.count { case (d, c) => d == c } === 3) // 1, 30, 31
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS graft_neardup_corpus_bands")
