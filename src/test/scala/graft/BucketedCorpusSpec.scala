@@ -70,6 +70,42 @@ class BucketedCorpusSpec extends SparkSpec {
     }
   }
 
+  test("lookup-flagged config: streamed edges equal batch LinkJob's (ADVICE r3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // phone as the only lookup property: linkStream must derive the SAME
+    // blocking scheme batch LinkJob stage ② derives (Blocking.fromConfig) —
+    // before the fix, streaming silently used the default soundex+digits
+    // scheme and generated a different candidate set
+    val cfg = MatchConfig.fixture.copy(properties =
+      MatchConfig.fixture.properties.map(p =>
+        if (p.name == "phone") p.copy(lookup = "required") else p))
+    val docs = Seq(
+      doc("d1", "john smith", "5551234"), doc("x1", "maria garcia", "9990000"),
+      doc("d2", "jon smith", "5551234"), doc("d3", "john smyth", "5551234"),
+      doc("x2", "maria garcia", "9990000"))
+
+    val out = Files.createTempDirectory("graft-lkbatch").toString
+    graft.jobs.LinkJob.run(spark, docs.toDS(), cfg, out)
+    val batchSet = spark.read.parquet(s"$out/edges").collect()
+      .map { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        (if (a < b) a else b, if (a < b) b else a)
+      }.toSet
+
+    val base = Files.createTempDirectory("graft-lkstream").toString
+    val mem = MemoryStream[Doc]
+    val q = IncrementalLink.linkStream(mem.toDS(), cfg,
+      s"$base/corpus", s"$base/edges", s"$base/ckpt")
+    try {
+      mem.addData(docs(0), docs(1)); q.processAllAvailable()
+      mem.addData(docs(2), docs(3), docs(4)); q.processAllAvailable()
+      val streamedSet = spark.read.parquet(s"$base/edges").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(streamedSet === batchSet && streamedSet.nonEmpty)
+    } finally q.stop()
+  }
+
   test("linkStream with a bucketed corpus table: edges bit-equal to the parquet path") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
