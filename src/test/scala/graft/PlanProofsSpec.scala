@@ -74,4 +74,23 @@ class PlanProofsSpec extends SparkSpec {
     assert(s.contains("Exchange"), s.take(1500))
     assert(q.count() === 4)
   }
+
+  test("q_best_match_agg is single-pass: one scan per input table (VERDICT r3 #5)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = SparkEntry.queries("q_best_match_agg")(spark, "/root/testdata/sf0.001")
+    assert(q.count() > 0) // finalize any adaptive plan before collecting scans
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case s: FileSourceScanExec => s.relation.location.rootPaths.mkString
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.flatMap {
+      case s: String => Seq(s)
+      case p: org.apache.spark.sql.execution.SparkPlan => scans(p)
+    }
+    val paths = scans(q.queryExecution.executedPlan)
+    // the old self-join-with-max shape read customer and supplier TWICE each;
+    // the max_by rewrite must read each exactly once
+    assert(paths.count(_.contains("customer")) === 1, paths.mkString("\n"))
+    assert(paths.count(_.contains("supplier")) === 1, paths.mkString("\n"))
+  }
 }
