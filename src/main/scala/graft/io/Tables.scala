@@ -263,6 +263,54 @@ object Tables {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact a bucketed external table in place: every micro-batch append
+    * (`IncrementalLink` / `IncrementalDedup` corpus tables) adds one file per
+    * bucket per writing task, so a long-running stream accumulates thousands
+    * of small files per bucket — eventually the FILE LISTING, not the data,
+    * dominates every per-batch join. One compaction pass rewrites the table
+    * to one file per bucket (same bucket spec, so joins stay exchange-free)
+    * and re-registers it at the SAME path. Maintenance op: pause writers
+    * while it runs (readers of the old files race the directory swap).
+    *
+    * Mechanics: rewrite through a temp bucketed table (bucket-id file naming
+    * must come from a real bucketed write), swap directories, drop the temp
+    * (external ⇒ metadata-only), re-create the table's catalog entry with
+    * the same CLUSTERED BY spec at the original location — renaming a dir
+    * preserves the bucket-id file suffixes Spark maps buckets with.
+    */
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val tmpTable = table + "_compact_tmp"
+    val tmpPath = path + "_compact_tmp"
+    spark.catalog.refreshTable(table)
+    // read the FILES, not the catalog table: a bucketed-table scan carries
+    // its own output partitioning, which let the planner produce one file
+    // per (bucket × task) on rewrite; a plain scan + repartition on the
+    // bucket column aligns tasks with bucket ids exactly
+    val df = spark.read.parquet(path)
+    val schemaDdl = df.schema.toDDL
+    df.repartition(nBuckets, df(bucketCol)) // one task per bucket -> one file per bucket
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", tmpPath).format("parquet").saveAsTable(tmpTable)
+    val fs = FileSystem.get(new java.net.URI(tmpPath), spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE $table")
+    fs.delete(new HPath(path), true)
+    require(fs.rename(new HPath(tmpPath), new HPath(path)),
+      s"compactBucketed: rename $tmpPath -> $path failed")
+    spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, data already moved
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING parquet
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.catalog.refreshTable(table)
+  }
 }
 
 /** Checkpoint manifest for mid-pipeline resume (BASELINE north_rule

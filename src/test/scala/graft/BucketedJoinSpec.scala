@@ -39,6 +39,50 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed: appended small files collapse to one per bucket, joins stay exchange-free") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact").toString
+    val path = s"$base/rec"
+    def batch(lo: Int, hi: Int) = (lo to hi).map(i => (f"d$i%05d", s"name$i")).toDF("doc_id", "name")
+    // simulate a stream: 3 bucketed appends -> ≥3 files per bucket
+    batch(1, 1000).write.mode("append").bucketBy(4, "doc_id").sortBy("doc_id")
+      .option("path", path).format("parquet").saveAsTable("graft_cmp_b")
+    for ((lo, hi) <- Seq((1001, 2000), (2001, 3000)))
+      batch(lo, hi).write.mode("append").bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", path).format("parquet").saveAsTable("graft_cmp_b")
+    def dataFiles = new java.io.File(path).listFiles().count(_.getName.startsWith("part-"))
+    val before = dataFiles
+    assert(before >= 12, s"expected ≥3 files x 4 buckets before compaction, got $before")
+    try {
+      Tables.compactBucketed(spark, "graft_cmp_b", path, "doc_id", 4)
+      assert(dataFiles === 4, s"one file per bucket after compaction, got $dataFiles")
+      assert(spark.table("graft_cmp_b").count() === 3000)
+      // the re-registered table still joins exchange-free on the bucket key
+      Tables.writeBucketed(
+        (1 to 3000).map(i => (f"d$i%05d", i * 0.001)).toDF("doc_id", "score"),
+        "graft_cmp_s", s"$base/sco", "doc_id", 4)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("graft_cmp_b").join(spark.table("graft_cmp_s"), "doc_id")
+        val shuffles = joined.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty, shuffles.map(_.nodeName).toString)
+        assert(joined.count() === 3000)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // and the stream can keep appending to the re-created table
+      batch(3001, 3100).write.mode("append").bucketBy(4, "doc_id").sortBy("doc_id")
+        .option("path", path).format("parquet").saveAsTable("graft_cmp_b")
+      spark.catalog.refreshTable("graft_cmp_b")
+      assert(spark.table("graft_cmp_b").count() === 3100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_s")
+      spark.sql("DROP TABLE IF EXISTS graft_cmp_b_compact_tmp")
+    }
+  }
+
   test("partitionBy write + predicate reads only the matching partition (pruning)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-partitions").toString + "/docs"
