@@ -88,4 +88,41 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_neardup_corpus_fps")
     }
   }
+
+  test("streamed dup clusters == batch DedupJob decisions on the driver corpus") {
+    // the unification contract between the two dedup faces: DedupJob verifies
+    // REP pairs (exact groups contracted first) and members inherit by
+    // membership; the stream verifies MEMBER pairs batch-by-batch. Exact-dup
+    // members always connect (Jaccard 1) and member-pair similarity equals
+    // the rep pair's, so both graphs have identical components — the
+    // labelings (and therefore keep/drop decisions) must match exactly.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseDir = Files.createTempDirectory("graft-neardup-unify").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalDedup.nearDupStream(
+      mem.toDS().toDF("doc_id", "text"),
+      s"$baseDir/corpus", s"$baseDir/edges", s"$baseDir/ckpt",
+      clustersDir = Some(s"$baseDir/clusters"))
+    try {
+      docs.grouped((docs.size + 2) / 3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = new graft.io.HashPartitionedTable(s"$baseDir/clusters", "cluster_id", 8)
+      .read(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val summary = graft.jobs.DedupJob.run(
+      spark, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      s"$baseDir/batchjob")
+    val batch = spark.read.parquet(s"$baseDir/batchjob/decisions")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(streamed === batch)
+    assert(streamed.count { case (d, c) => d == c } === summary.kept.toInt)
+  }
 }
