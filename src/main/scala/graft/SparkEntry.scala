@@ -782,8 +782,13 @@ object SparkEntry {
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*))
       val fps = sigs.select(col("doc_id"), col("fps"))
       graft.pipeline.BandedPairs.verifiedPairs(
-        sigs.selectExpr("doc_id AS id", "fps",
-          s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
+        // null-fps rows are excluded BEFORE contraction: concat_ws silently
+        // maps null fps to "", which would merge every degenerate doc into
+        // one key group emitted as unverified 'perfect' pairs — the old
+        // expand-then-verify path filtered them via NULL jaccard
+        sigs.where(col("fps").isNotNull)
+          .selectExpr("doc_id AS id", "fps",
+            s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
         key = md5(concat_ws(",", col("fps"))),
         selfSims = Seq(lit(1000000L).as("jacc_micro")),
         cfg = config.pairCfg) { reps =>
@@ -832,8 +837,12 @@ object SparkEntry {
       // have hamming 0 by construction, and rep-level hamming transfers to
       // every member pair (verify-then-expand, VERDICT r3 #1)
       graft.pipeline.BandedPairs.verifiedPairs(
-        codes.selectExpr("doc_id AS id", "sl", "sh",
-          "array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16)) AS bands"),
+        // null codes can't be banded or verified (bit_count(null) filtered
+        // them in the old path) — and concat_ws skips nulls, which would
+        // merge (null, x) and (x, null) codes into one 'exact' key group
+        codes.where(col("sl").isNotNull && col("sh").isNotNull)
+          .selectExpr("doc_id AS id", "sl", "sh",
+            "array(sl % 65536, shiftright(sl, 16), sh % 65536, shiftright(sh, 16)) AS bands"),
         key = concat_ws(":", col("sl"), col("sh")),
         selfSims = Seq(lit(0L).as("hamming")),
         cfg = config.pairCfg) { reps =>
@@ -957,7 +966,11 @@ object SparkEntry {
       // double-accumulated dot, |cos(x,x)−1| ~ 1e-15 ≪ the 5e-7 rounding
       // slack), so cosine verifies rep pairs only and survivors expand
       graft.pipeline.BandedPairs.verifiedPairs(
-        e.selectExpr("vec_id AS id", "embedding", "array(bucket) AS bands"),
+        // zero-norm (or null) embeddings never pair in the old path (cosine
+        // NaN filtered); excluding them here keeps selfSims = cos(x,x) = 1
+        // truthful for every surviving key group
+        e.where(col("nrm") > 0)
+          .selectExpr("vec_id AS id", "embedding", "array(bucket) AS bands"),
         key = md5(concat_ws(",", col("embedding").cast("array<string>"))),
         selfSims = Seq(lit(1000000L).as("cos_micro")),
         cfg = config.pairCfg) { reps =>

@@ -151,13 +151,18 @@ object Sources {
       else {
         val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
         var off = 0L
+        var width = 1
         var exhausted = false
         while (!exhausted) {
-          val offsets = (0 until pagesPerRound).map(i => off + i.toLong * pageSize)
+          // geometric ramp 1, 2, 4, … capped at pagesPerRound: a one-page
+          // result set costs one request (not a full round of guaranteed-
+          // empty fetches), while long streams still reach full parallelism;
+          // wasted tail fetches are bounded by the final round's width
+          val offsets = (0 until width).map(i => off + i.toLong * pageSize)
           // pin each round: the HTTP fetches run exactly once, then both the
           // count read and the triple union serve from stored blocks
           val fetched = Persist.truncate(offsets.toDS()
-            .repartition(pagesPerRound) // one page per task
+            .repartitionByRange(width, col("value")) // ~one page per task
             .map { o =>
               val rows = Sparql.fetch(endpoint, s"$query LIMIT $pageSize OFFSET $o")
               (o, rows.size, toTriples(rows))
@@ -167,7 +172,8 @@ object Sources {
             .select(col("t._1").as("subject"), col("t._2").as("key"), col("t._3").as("object"))
           // a short (or empty) page means the result stream ended this round
           exhausted = fetched.select(col("n")).as[Int].collect().exists(_ < pageSize)
-          off += pagesPerRound.toLong * pageSize
+          off += width.toLong * pageSize
+          width = math.min(width * 2, pagesPerRound)
         }
         rounds.reduce(_ unionByName _)
       }
@@ -214,16 +220,6 @@ private[io] object Sparql {
     require(resp.statusCode() == 200, s"sparql endpoint returned ${resp.statusCode()}")
     parseResults(resp.body())
   }
-
-  /** Duke-style paging: append `LIMIT pageSize OFFSET k`; stop on a short
-    * page. pageSize <= 0 = single unpaged request.
-    */
-  def fetchAll(endpoint: String, query: String, pageSize: Int): Seq[Map[String, String]] =
-    if (pageSize <= 0) fetch(endpoint, query)
-    else Iterator.from(0)
-      .map(p => fetch(endpoint, s"$query LIMIT $pageSize OFFSET ${p.toLong * pageSize}"))
-      .takeWhile(_.nonEmpty)
-      .foldLeft(Vector.empty[Map[String, String]]) { (acc, page) => acc ++ page }
 
   def parseResults(json: String): Seq[Map[String, String]] = {
     val root = graft.model.JsonLite.parse(json)._1.asInstanceOf[Map[String, Any]]

@@ -22,23 +22,49 @@ trait IcebergLikeTable {
   def currentSnapshot: Option[Long]
 }
 
-/** Directory layout:
-  *   root/data/s<k>/part-*.parquet     (one sub-dir per snapshot's new files)
-  *   root/snapshots/v<k>.json          ({"snapshot":k,"dirs":[...],"op":"append"})
+/** The snapshot-layout protocol shared by both table classes (manifest
+  * format, pointer-swap commit) — one definition, so the layouts cannot
+  * silently diverge. Layout:
+  *   root/data/s<k>/…                  (files/partition-dirs per snapshot)
+  *   root/snapshots/v<k>.json          ({"snapshot":k,"dirs":[...],"op":…})
   *   root/CURRENT                      (latest k; atomically replaced)
   */
-class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
-  private def rootP: Path = Paths.get(root)
-  private def currentP: Path = rootP.resolve("CURRENT")
+private[io] object SnapshotIo {
+  def current(rootP: Path): Option[Long] = {
+    val p = rootP.resolve("CURRENT")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
 
-  def currentSnapshot: Option[Long] =
-    if (Files.exists(currentP)) Some(Files.readString(currentP).trim.toLong) else None
-
-  private def snapshotDirs(k: Long): Seq[String] = {
+  /** Dirs composing snapshot `k` (stored as a JSON array of strings on one
+    * line); throws if the manifest is missing (expired or never committed).
+    */
+  def dirs(rootP: Path, k: Long): Seq[String] = {
     val j = Files.readString(rootP.resolve(s"snapshots/v$k.json"))
-    // dirs are stored as a JSON array of strings on one line
     "\"data/[^\"]+\"".r.findAllIn(j).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
   }
+
+  /** Write manifest k then atomically swap the CURRENT pointer — the swap IS
+    * the commit (Iceberg's metadata-pointer semantics).
+    */
+  def commitManifest(rootP: Path, k: Long, op: String, dirList: Seq[String]): Unit = {
+    Files.createDirectories(rootP.resolve("snapshots"))
+    val manifest =
+      s"""{"snapshot":$k,"op":"$op","ts":${System.currentTimeMillis()},""" +
+        s""""dirs":[${dirList.map(d => "\"" + d + "\"").mkString(",")}]}"""
+    Files.writeString(rootP.resolve(s"snapshots/v$k.json"), manifest)
+    val tmp = rootP.resolve("CURRENT.tmp")
+    Files.writeString(tmp, k.toString)
+    Files.move(tmp, rootP.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
+  private def rootP: Path = Paths.get(root)
+
+  def currentSnapshot: Option[Long] = SnapshotIo.current(rootP)
+
+  private def snapshotDirs(k: Long): Seq[String] = SnapshotIo.dirs(rootP, k)
 
   private def commit(df: DataFrame, op: String): Long = {
     val k = currentSnapshot.getOrElse(0L) + 1
@@ -47,16 +73,7 @@ class PartitionedParquetTable(val root: String) extends IcebergLikeTable {
     val dirs =
       if (op == "append") currentSnapshot.map(snapshotDirs).getOrElse(Nil) :+ dataDir
       else Seq(dataDir)
-    Files.createDirectories(rootP.resolve("snapshots"))
-    val manifest =
-      s"""{"snapshot":$k,"op":"$op","ts":${System.currentTimeMillis()},""" +
-        s""""dirs":[${dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
-    Files.writeString(rootP.resolve(s"snapshots/v$k.json"), manifest)
-    // atomic pointer swap = the commit (Iceberg's metadata-pointer semantics)
-    val tmp = rootP.resolve("CURRENT.tmp")
-    Files.writeString(tmp, k.toString)
-    Files.move(tmp, currentP, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    SnapshotIo.commitManifest(rootP, k, op, dirs)
     k
   }
 
@@ -94,20 +111,25 @@ object SnapshotMaintenance {
     if (!Files.exists(currentP)) return
     val current = Files.readString(currentP).trim.toLong
     val cutoff = current - keepLast + 1
-    def dirsOf(k: Long): Seq[String] = {
-      val f = rootP.resolve(s"snapshots/v$k.json")
-      if (!Files.exists(f)) Seq.empty
-      else "\"data/[^\"]+\"".r.findAllIn(Files.readString(f))
-        .map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
-    }
+    def dirsOf(k: Long): Seq[String] =
+      if (!Files.exists(rootP.resolve(s"snapshots/v$k.json"))) Seq.empty
+      else SnapshotIo.dirs(rootP, k)
     val retained = (cutoff to current).flatMap(dirsOf).toSet
     def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close() // walk holds directory handles until closed
     }
-    for (k <- 1L until cutoff) {
+    // walk DOWN from the cutoff and stop at the first already-deleted
+    // manifest: earlier ones are gone too (deletions keep the live manifest
+    // range contiguous), so per-call work is O(newly expired), not O(all
+    // snapshots ever) — a per-batch expiry on a long stream stays constant
+    var k = cutoff - 1
+    while (k >= 1 && Files.exists(rootP.resolve(s"snapshots/v$k.json"))) {
       dirsOf(k).filterNot(retained).foreach(d => deleteTree(rootP.resolve(d)))
       Files.deleteIfExists(rootP.resolve(s"snapshots/v$k.json"))
+      k -= 1
     }
     // prune data/s<k> parents left empty after partition-dir deletion
     val dataP = rootP.resolve("data")
@@ -140,10 +162,8 @@ class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: 
     extends IcebergLikeTable {
   require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
   private def rootP: Path = Paths.get(root)
-  private def currentP: Path = rootP.resolve("CURRENT")
 
-  def currentSnapshot: Option[Long] =
-    if (Files.exists(currentP)) Some(Files.readString(currentP).trim.toLong) else None
+  def currentSnapshot: Option[Long] = SnapshotIo.current(rootP)
 
   /** The partition a value of `partCol` belongs to (same expression the
     * writer uses — callers compute affected partitions with it).
@@ -153,10 +173,7 @@ class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: 
       org.apache.spark.sql.functions.xxhash64(c),
       org.apache.spark.sql.functions.lit(nBuckets.toLong)).cast("int")
 
-  private def snapshotDirs(k: Long): Seq[String] = {
-    val j = Files.readString(rootP.resolve(s"snapshots/v$k.json"))
-    "\"data/[^\"]+\"".r.findAllIn(j).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
-  }
+  private def snapshotDirs(k: Long): Seq[String] = SnapshotIo.dirs(rootP, k)
 
   private def partOf(dir: String): Int =
     dir.substring(dir.lastIndexOf("__part=") + "__part=".length).toInt
@@ -179,15 +196,7 @@ class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: 
         currentSnapshot.map(snapshotDirs).getOrElse(Nil)
           .filterNot(d => parts.contains(partOf(d))) ++ newDirs
     }
-    Files.createDirectories(rootP.resolve("snapshots"))
-    val manifest =
-      s"""{"snapshot":$k,"op":"$op","ts":${System.currentTimeMillis()},""" +
-        s""""dirs":[${dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
-    Files.writeString(rootP.resolve(s"snapshots/v$k.json"), manifest)
-    val tmp = rootP.resolve("CURRENT.tmp")
-    Files.writeString(tmp, k.toString)
-    Files.move(tmp, currentP, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    SnapshotIo.commitManifest(rootP, k, op, dirs)
     k
   }
 

@@ -73,7 +73,17 @@ object DedupJob {
           s"CASE WHEN doc_id = rep THEN ${TrainingOps.minhashBandSpark(j)} END")
           .as(s"band$j")): _*)
     }
-    val banded = grouped.where($"doc_id" === $"rep")
+    val banded =
+      if (grouped.columns.contains("band0")) grouped.where($"doc_id" === $"rep")
+      else m.stage(spark, "banded") {
+        // resume of an outDir written BEFORE the band-fold: its `grouped`
+        // parquet has no band columns, so serve/compute the legacy separate
+        // banded stage — a mid-upgrade kill must still resume, not crash
+        grouped.where($"doc_id" === $"rep")
+          .selectExpr(Seq("doc_id", "fps") ++
+            (0 until cfg.minhashBands).map(j =>
+              s"${TrainingOps.minhashBandSpark(j)} AS band$j"): _*)
+      }
 
     // ③ candidate rep pairs through the skew discipline (stats -> metrics)
     val candDf = m.stage(spark, "candidates") {

@@ -128,9 +128,7 @@ object IncrementalDedup {
           clustersDir.foreach { dir =>
             LabelCommit.commit(spark, dir, nClusterBuckets,
               edges.select($"a_id", $"b_id"),
-              newBanded.select($"doc_id"),
-              oldFps.map(_.select($"doc_id")),
-              labelSnapshotsToKeep)
+              newBanded.select($"doc_id"), labelSnapshotsToKeep)
           }
 
           // grow the corpus (band rows keyed for linkPairs; fps for verify)

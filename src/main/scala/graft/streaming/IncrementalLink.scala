@@ -34,10 +34,6 @@ private[streaming] object LabelCommit {
 
   /** @param batchEdges (a_id, b_id) match edges, pinned by the caller
     * @param newDocIds  one `doc_id` column: every doc in this batch
-    * @param seenIds    `doc_id`s already indexed by previous batches (read
-    *                   from the doc_id-bucketed corpus so the anti-join
-    *                   leaves the corpus in place — never from the
-    *                   cluster_id-partitioned labels); None = first batch
     * @param keepSnapshots when set, expire label snapshots to the newest N
     */
   def commit(
@@ -46,34 +42,37 @@ private[streaming] object LabelCommit {
       nBuckets: Int,
       batchEdges: DataFrame,
       newDocIds: DataFrame,
-      seenIds: Option[DataFrame],
       keepSnapshots: Option[Int]): Unit = {
     val tbl = new graft.io.HashPartitionedTable(dir, "cluster_id", nBuckets)
-    // edge-free new docs enter as singletons labeled by their own id
-    def singlesAgainst(seen: Option[DataFrame]): DataFrame = {
-      val fresh = seen match {
-        case None      => newDocIds.select(col("doc_id"))
-        case Some(ids) => newDocIds.select(col("doc_id"))
-          .join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      }
-      fresh.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    }
     tbl.currentSnapshot match {
       case None =>
         // first batch: full labeling = CC over the batch's edges, plus this
-        // batch's edge-free docs as their own clusters
+        // batch's edge-free docs as their own singleton clusters
         val labeled = graft.pipeline.Cluster.connectedComponents(batchEdges)
           .select(col("doc_id"), col("cluster_id"))
-        tbl.overwrite(labeled.unionByName(singlesAgainst(Some(labeled))))
+        val singles = newDocIds.select(col("doc_id"))
+          .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        tbl.overwrite(labeled.unionByName(singles))
       case Some(_) =>
         val labels = tbl.read(spark)
         val delta = graft.pipeline.Cluster.mergeDelta(labels, batchEdges)
         val relabel = graft.io.Persist.truncate(delta.relabel)
         val added = graft.io.Persist.truncate(delta.added)
+        // edge-free new docs enter as singletons labeled by their own id.
+        // The anti-join runs against the LABELS, not the corpus table: the
+        // labels are committed last in the batch, so they are a superset of
+        // every other per-batch artifact under foreachBatch's at-least-once
+        // replay — a replayed doc is already labeled (possibly in ANOTHER
+        // cluster's partition, invisible to an affected-partition check) and
+        // must not re-enter as a singleton (LabelCommitSpec). One extra scan
+        // of the labels per batch, on top of mergeDelta's endpoint lookup;
+        // the WRITE stays O(affected partitions).
         val singles = graft.io.Persist.truncate(
-          singlesAgainst(seenIds)
+          newDocIds.select(col("doc_id"))
+            .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("cluster_id")))
+            .select(col("doc_id"), col("doc_id").as("cluster_id")))
         // affected partitions: every relabeled cluster's source and target
         // labels, plus the new docs' own labels — a cluster's members all
         // live in hash(cluster_id)'s partition, so this driver-side set
@@ -241,9 +240,9 @@ object IncrementalLink {
             case None     => new java.io.File(s"$recordsDir/_SUCCESS").exists()
           }
           // the accumulated corpus records (previous batches only — this
-          // batch's append happens below): scoring's b-side, and the
-          // already-seen doc_id set for singleton detection. doc_id-bucketed
-          // when a table name is configured, so both uses leave it in place.
+          // batch's append happens below): scoring's b-side. doc_id-bucketed
+          // when a table name is configured, so the score join leaves it in
+          // place.
           val corpusRecs: Option[Dataset[ErPipeline.CleanRecord]] =
             if (!hasCorpus) None
             else Some((corpusTable match {
@@ -291,9 +290,7 @@ object IncrementalLink {
           // standing labels, rewriting only affected partitions (LabelCommit)
           clustersDir.foreach { dir =>
             LabelCommit.commit(spark, dir, nClusterBuckets, batchEdges,
-              newRecords.toDF().select(col("doc_id")),
-              corpusRecs.map(_.toDF().select(col("doc_id"))),
-              labelSnapshotsToKeep)
+              newRecords.toDF().select(col("doc_id")), labelSnapshotsToKeep)
           }
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later

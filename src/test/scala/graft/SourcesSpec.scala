@@ -165,10 +165,11 @@ class SourcesSpec extends SparkSpec {
 
   test("sparql distributed paging: multi-round executor-side fetch (VERDICT r3 #3)") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-    // 9 bindings served LIMIT/OFFSET-faithfully; pageSize=2 × pagesPerRound=2
-    // -> 3 rounds (offsets 0,2 | 4,6 | 8,10), last round short+empty. The
-    // driver only ever collects per-page COUNTS; page bodies flow through
-    // executor map tasks into the triples frame.
+    // 9 bindings served LIMIT/OFFSET-faithfully; pageSize=2, pagesPerRound=2
+    // with the geometric ramp -> rounds of widths 1,2,2 (offsets 0 | 2,4 |
+    // 6,8), the last page short. The driver only ever collects per-page
+    // COUNTS; page bodies flow through executor map tasks into the triples
+    // frame.
     def cell(v: String) = s"""{"type":"literal","value":"$v"}"""
     val all = (0 until 9).map(i =>
       s"""{"id":${cell(s"s$i")},"p":${cell("name")},"o":${cell(s"N$i")}}""")
@@ -198,9 +199,10 @@ class SourcesSpec extends SparkSpec {
         tripleMode = true, pageSize = 2, pagesPerRound = 2)
       val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
       assert(got === (0 until 9).map(i => s"s$i" -> Set(s"N$i")).toMap)
-      // exactly 3 rounds × 2 pages — no re-fetch on the count read vs the
-      // triple union (the round pin makes each page one HTTP request)
-      assert(seen.size === 6, s"expected 6 page fetches, saw: ${seen.size}")
+      // exactly 5 page fetches (ramp 1+2+2) — no re-fetch on the count read
+      // vs the triple union (the round pin makes each page one HTTP request),
+      // and no guaranteed-empty full first round for small result sets
+      assert(seen.size === 5, s"expected 5 page fetches, saw: ${seen.size}")
     } finally server.stop(0)
   }
 
