@@ -131,6 +131,12 @@ object IncrementalDedup {
               newBanded.select($"doc_id"), labelSnapshotsToKeep)
           }
 
+          // per-batch metrics beside the corpus (both frames pinned)
+          Seq((batchId, newBanded.count(), edges.count(),
+            System.currentTimeMillis()))
+            .toDF("batch_id", "docs", "edges", "ts")
+            .coalesce(1).write.mode("append").parquet(s"$corpusDir/metrics")
+
           // grow the corpus (band rows keyed for linkPairs; fps for verify)
           corpusTable match {
             case Some(tn) =>

@@ -292,6 +292,14 @@ object IncrementalLink {
             LabelCommit.commit(spark, dir, nClusterBuckets, batchEdges,
               newRecords.toDF().select(col("doc_id")), labelSnapshotsToKeep)
           }
+
+          // per-batch metrics beside the corpus (north rule "metric'd" —
+          // the streaming twin of the batch jobs' metrics stage); both
+          // frames are pinned, so the two counts are cached-block scans
+          Seq((batchId, newRecords.toDF().count(), batchEdges.count(),
+            System.currentTimeMillis()))
+            .toDF("batch_id", "docs", "edges", "ts")
+            .coalesce(1).write.mode("append").parquet(s"$corpusDir/metrics")
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later
           // batch's score join leaves the accumulated records in place

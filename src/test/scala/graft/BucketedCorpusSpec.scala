@@ -174,6 +174,11 @@ class BucketedCorpusSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getString(1)).toMap
       assert(gotP === want)
 
+      // per-batch streaming metrics: one row per batch, docs sum to the corpus
+      val met = spark.read.parquet(s"$baseB/corpus/metrics")
+      assert(met.count() === 3L)
+      assert(met.agg(sum("docs")).collect()(0).getLong(0) === 5L)
+
       // the table really is bucketed and accumulated across batches
       // (refresh: the catalog's cached file listing predates the last append)
       spark.catalog.refreshTable("graft_stream_corpus")

@@ -67,6 +67,13 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.catalog.refreshTable("graft_neardup_corpus_fps")
       assert(spark.table("graft_neardup_corpus_fps").count() === 7L)
 
+      // per-batch metrics landed beside the corpus: one row per batch, doc
+      // counts summing to the corpus, edge counts summing to the edge set
+      val m = spark.read.parquet(s"$baseDir/corpus/metrics")
+      assert(m.count() === 3L)
+      val sums = m.agg(sum("docs"), sum("edges")).collect()(0)
+      assert(sums.getLong(0) === 7L && sums.getLong(1) === streamed.size.toLong)
+
       // incrementally maintained near-dup clusters == full CC over all
       // streamed edges, edge-free docs as singletons; keep = min member.
       // This is DedupJob's decisions contract, maintained per micro-batch

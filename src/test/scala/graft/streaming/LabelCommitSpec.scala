@@ -44,4 +44,41 @@ class LabelCommitSpec extends SparkSpec {
     LabelCommit.commit(spark, dir, 8, b2Edges, b2Ids, None)
     assert(labelsOf(dir) === after2)
   }
+
+  test("property: random batch streams with random replays equal full CC (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 47)) {
+      val r = new scala.util.Random(seed)
+      val dir = Files.createTempDirectory(s"graft-lc-fuzz$seed").toString
+      val allEdges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      val allIds = scala.collection.mutable.Set[String]()
+      var nextId = 0
+      for (_ <- 1 to 5) {
+        // each batch: a few brand-new docs, edges among new docs and back to
+        // random earlier docs (cross-batch cluster growth + merges)
+        val fresh = (1 to (2 + r.nextInt(4))).map { _ =>
+          nextId += 1; f"d$nextId%04d"
+        }
+        val pool = (allIds.toSeq.sorted ++ fresh)
+        val batchEdges = (1 to r.nextInt(4)).flatMap { _ =>
+          val a = fresh(r.nextInt(fresh.size))
+          val b = pool(r.nextInt(pool.size))
+          if (a == b) None else Some((a, b))
+        }
+        allEdges ++= batchEdges
+        allIds ++= fresh
+        val commitOnce = () => LabelCommit.commit(spark, dir, 4,
+          batchEdges.toDF("a_id", "b_id"), fresh.toDF("doc_id"), None)
+        commitOnce()
+        if (r.nextBoolean()) commitOnce() // at-least-once replay
+      }
+      val got = labelsOf(dir).toMap
+      val full =
+        if (allEdges.isEmpty) Map.empty[String, String]
+        else graft.pipeline.Cluster.connectedComponents(allEdges.toSeq.toDF("a", "b"))
+          .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+      val want = allIds.map(d => d -> full.getOrElse(d, d)).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
