@@ -782,11 +782,13 @@ object SparkEntry {
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*))
       val fps = sigs.select(col("doc_id"), col("fps"))
       graft.pipeline.BandedPairs.verifiedPairs(
-        // null-fps rows are excluded BEFORE contraction: concat_ws silently
-        // maps null fps to "", which would merge every degenerate doc into
-        // one key group emitted as unverified 'perfect' pairs — the old
-        // expand-then-verify path filtered them via NULL jaccard
-        sigs.where(col("fps").isNotNull)
+        // null/empty-fps rows are excluded BEFORE contraction: concat_ws
+        // silently maps both to "", which would merge every degenerate doc
+        // into one key group emitted as unverified 'perfect' pairs — the old
+        // expand-then-verify path filtered them via NULL jaccard. (The
+        // shingle kernel never emits an empty array — short docs fall back
+        // to [fp(text)] — but the guard must not depend on that.)
+        sigs.where(size(col("fps")) > 0)
           .selectExpr("doc_id AS id", "fps",
             s"array(${(0 until nBands).map(j => s"band$j").mkString(",")}) AS bands"),
         key = md5(concat_ws(",", col("fps"))),

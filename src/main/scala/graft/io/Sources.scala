@@ -161,8 +161,11 @@ object Sources {
           val offsets = (0 until width).map(i => off + i.toLong * pageSize)
           // pin each round: the HTTP fetches run exactly once, then both the
           // count read and the triple union serve from stored blocks
+          // coalesce-then-round-robin: width rows in ONE input partition
+          // round-robin to exactly one offset per task, with no range-
+          // sampling job (repartitionByRange runs one per round)
           val fetched = Persist.truncate(offsets.toDS()
-            .repartitionByRange(width, col("value")) // ~one page per task
+            .coalesce(1).repartition(width)
             .map { o =>
               val rows = Sparql.fetch(endpoint, s"$query LIMIT $pageSize OFFSET $o")
               (o, rows.size, toTriples(rows))

@@ -121,16 +121,19 @@ object SnapshotMaintenance {
         .forEach(f => Files.deleteIfExists(f))
       finally walk.close() // walk holds directory handles until closed
     }
-    // walk DOWN from the cutoff and stop at the first already-deleted
-    // manifest: earlier ones are gone too (deletions keep the live manifest
-    // range contiguous), so per-call work is O(newly expired), not O(all
-    // snapshots ever) — a per-batch expiry on a long stream stays constant
-    var k = cutoff - 1
-    while (k >= 1 && Files.exists(rootP.resolve(s"snapshots/v$k.json"))) {
+    // expire [OLDEST, cutoff): the low-water mark bounds per-call work to
+    // O(newly expired) instead of rescanning every snapshot id since 1 on
+    // each per-batch call — and unlike a stop-at-first-gap walk, a crash
+    // mid-loop self-heals (the mark only advances AFTER the sweep, so the
+    // next call re-covers the crashed range; re-deleting is a no-op)
+    val oldestP = rootP.resolve("OLDEST")
+    val oldest =
+      if (Files.exists(oldestP)) Files.readString(oldestP).trim.toLong else 1L
+    for (k <- oldest until cutoff) {
       dirsOf(k).filterNot(retained).foreach(d => deleteTree(rootP.resolve(d)))
       Files.deleteIfExists(rootP.resolve(s"snapshots/v$k.json"))
-      k -= 1
     }
+    if (cutoff > oldest) Files.writeString(oldestP, cutoff.toString)
     // prune data/s<k> parents left empty after partition-dir deletion
     val dataP = rootP.resolve("data")
     if (Files.exists(dataP)) {
@@ -283,10 +286,15 @@ object Tables {
     * while it runs (readers of the old files race the directory swap).
     *
     * Mechanics: rewrite through a temp bucketed table (bucket-id file naming
-    * must come from a real bucketed write), swap directories, drop the temp
-    * (external ⇒ metadata-only), re-create the table's catalog entry with
-    * the same CLUSTERED BY spec at the original location — renaming a dir
-    * preserves the bucket-id file suffixes Spark maps buckets with.
+    * must come from a real bucketed write), then swap directories under the
+    * UNCHANGED catalog entry (same schema, bucket spec and location, so no
+    * drop/re-create) — renaming a dir preserves the bucket-id file suffixes
+    * Spark maps buckets with. Crash safety: the original dir is renamed
+    * aside to `<path>_compact_bak` before the compacted dir moves in, and
+    * only deleted after — no window where the corpus exists nowhere. A crash
+    * between the two renames leaves the data in the _bak dir (rename it
+    * back to recover); a leftover _bak or _tmp dir is cleaned by the next
+    * compaction.
     */
   def compactBucketed(
       spark: SparkSession,
@@ -297,27 +305,25 @@ object Tables {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val tmpTable = table + "_compact_tmp"
     val tmpPath = path + "_compact_tmp"
+    val bakPath = path + "_compact_bak"
     spark.catalog.refreshTable(table)
     // read the FILES, not the catalog table: a bucketed-table scan carries
     // its own output partitioning, which let the planner produce one file
     // per (bucket × task) on rewrite; a plain scan + repartition on the
     // bucket column aligns tasks with bucket ids exactly
     val df = spark.read.parquet(path)
-    val schemaDdl = df.schema.toDDL
     df.repartition(nBuckets, df(bucketCol)) // one task per bucket -> one file per bucket
       .write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", tmpPath).format("parquet").saveAsTable(tmpTable)
-    val fs = FileSystem.get(new java.net.URI(tmpPath), spark.sessionState.newHadoopConf())
-    spark.sql(s"DROP TABLE $table")
-    fs.delete(new HPath(path), true)
+    spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, files stay
+    val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+    fs.delete(new HPath(bakPath), true)
+    require(fs.rename(new HPath(path), new HPath(bakPath)),
+      s"compactBucketed: rename $path -> $bakPath failed")
     require(fs.rename(new HPath(tmpPath), new HPath(path)),
-      s"compactBucketed: rename $tmpPath -> $path failed")
-    spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, data already moved
-    spark.sql(
-      s"""CREATE TABLE $table ($schemaDdl) USING parquet
-         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
-         |LOCATION '$path'""".stripMargin)
+      s"compactBucketed: rename $tmpPath -> $path failed (original preserved at $bakPath)")
+    fs.delete(new HPath(bakPath), true)
     spark.catalog.refreshTable(table)
   }
 }

@@ -131,11 +131,10 @@ object IncrementalDedup {
               newBanded.select($"doc_id"), labelSnapshotsToKeep)
           }
 
-          // per-batch metrics beside the corpus (both frames pinned)
-          Seq((batchId, newBanded.count(), edges.count(),
-            System.currentTimeMillis()))
-            .toDF("batch_id", "docs", "edges", "ts")
-            .coalesce(1).write.mode("append").parquet(s"$corpusDir/metrics")
+          // per-batch metrics beside the corpus (both frames pinned;
+          // replay-idempotent — see BatchMetrics)
+          BatchMetrics.write(spark, s"$corpusDir/metrics", batchId,
+            newBanded.count(), edges.count())
 
           // grow the corpus (band rows keyed for linkPairs; fps for verify)
           corpusTable match {

@@ -20,6 +20,24 @@ import graft.pipeline.ErPipeline
   *    accumulated corpus (new-vs-all + new-vs-new), and appends match edges;
   *    the corpus itself grows by the batch (Duke's Database.index analog).
   */
+/** Per-micro-batch metrics row, shared by both streaming jobs (the streaming
+  * twin of the batch jobs' metrics stage). Each batch OVERWRITES its own
+  * `batch_id=<k>` partition dir, so foreachBatch's at-least-once replay
+  * rewrites the same row instead of appending a duplicate — the same
+  * idempotence discipline as `LabelCommit`. Read the parent dir to get
+  * (docs, edges, ts, batch_id) with batch_id inferred from the layout.
+  */
+private[streaming] object BatchMetrics {
+  def write(spark: SparkSession, dir: String, batchId: Long,
+      docs: Long, edges: Long): Unit = {
+    import spark.implicits._
+    Seq((docs, edges, System.currentTimeMillis()))
+      .toDF("docs", "edges", "ts")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/batch_id=$batchId")
+  }
+}
+
 /** Per-micro-batch incremental cluster-label maintenance, shared by
   * `IncrementalLink.linkStream` (match-edge clusters) and
   * `IncrementalDedup.nearDupStream` (near-dup clusters): fold one batch's
@@ -293,13 +311,10 @@ object IncrementalLink {
               newRecords.toDF().select(col("doc_id")), labelSnapshotsToKeep)
           }
 
-          // per-batch metrics beside the corpus (north rule "metric'd" —
-          // the streaming twin of the batch jobs' metrics stage); both
-          // frames are pinned, so the two counts are cached-block scans
-          Seq((batchId, newRecords.toDF().count(), batchEdges.count(),
-            System.currentTimeMillis()))
-            .toDF("batch_id", "docs", "edges", "ts")
-            .coalesce(1).write.mode("append").parquet(s"$corpusDir/metrics")
+          // per-batch metrics beside the corpus (north rule "metric'd");
+          // both frames are pinned, so the two counts are cached-block scans
+          BatchMetrics.write(spark, s"$corpusDir/metrics", batchId,
+            newRecords.toDF().count(), batchEdges.count())
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later
           // batch's score join leaves the accumulated records in place

@@ -90,4 +90,23 @@ class HashPartitionedTableSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$root/data/s2")), "dir shared with current survives")
     assert(tbl.read(spark).collect().map(_.getString(0)).toSet === Set("b", "c"))
   }
+
+  test("expiry self-heals a crashed sweep (gap in the manifest range)") {
+    val root = Files.createTempDirectory("ppt2").toString
+    val tbl = new PartitionedParquetTable(root)
+    for (i <- 1 to 4) tbl.overwrite(Seq((s"r$i", i.toLong)).toDF("k", "v"))
+    // simulate a crash mid-sweep: v2 deleted, v1 left behind, mark unwritten
+    Files.delete(Paths.get(s"$root/snapshots/v2.json"))
+    tbl.expireSnapshots(keepLast = 1)
+    // the low-water sweep must cover the gap: v1 and v3 expired despite the
+    // missing v2 (a stop-at-first-gap walk would have orphaned v1 forever)
+    assert(!Files.exists(Paths.get(s"$root/snapshots/v1.json")))
+    assert(!Files.exists(Paths.get(s"$root/snapshots/v3.json")))
+    assert(!Files.exists(Paths.get(s"$root/data/s1")))
+    assert(Files.readString(Paths.get(s"$root/OLDEST")).trim === "4")
+    assert(tbl.read(spark).collect().map(_.getString(0)).toSet === Set("r4"))
+    // and a second expire call is a cheap no-op
+    tbl.expireSnapshots(keepLast = 1)
+    assert(tbl.read(spark).count() === 1)
+  }
 }

@@ -18,8 +18,10 @@ class LabelCommitSpec extends SparkSpec {
   private def edges(ps: (String, String)*) = ps.toDF("a_id", "b_id")
   private def ids(is: String*) = is.toDF("doc_id")
 
-  private def labelsOf(dir: String): Seq[(String, String)] =
-    new HashPartitionedTable(dir, "cluster_id", 8).read(spark)
+  // bucket count must match the writer's (read() derives dirs purely from
+  // the manifest today, but a pruning read would need the real count)
+  private def labelsOf(dir: String, nBuckets: Int = 8): Seq[(String, String)] =
+    new HashPartitionedTable(dir, "cluster_id", nBuckets).read(spark)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
 
   test("replayed batch (labels ahead of every other artifact) is a no-op on content") {
@@ -72,7 +74,7 @@ class LabelCommitSpec extends SparkSpec {
         commitOnce()
         if (r.nextBoolean()) commitOnce() // at-least-once replay
       }
-      val got = labelsOf(dir).toMap
+      val got = labelsOf(dir, nBuckets = 4).toMap
       val full =
         if (allEdges.isEmpty) Map.empty[String, String]
         else graft.pipeline.Cluster.connectedComponents(allEdges.toSeq.toDF("a", "b"))
