@@ -160,6 +160,11 @@ object SnapshotMaintenance {
   * partition set is computable from the relabel map alone; partitioning by
   * doc_id would scatter each affected cluster across all partitions and
   * finding them would cost a corpus scan per batch.
+  *
+  * Like the manifest I/O of every class in this file, the partition-dir
+  * listing runs on a driver-visible filesystem — the standing assumption of
+  * this offline Iceberg stand-in (real Iceberg replaces all of it with
+  * catalog metadata; the trait boundary is the swap point).
   */
 class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: Int)
     extends IcebergLikeTable {

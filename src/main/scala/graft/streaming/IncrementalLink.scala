@@ -26,6 +26,10 @@ import graft.pipeline.ErPipeline
   * rewrites the same row instead of appending a duplicate — the same
   * idempotence discipline as `LabelCommit`. Read the parent dir to get
   * (docs, edges, ts, batch_id) with batch_id inferred from the layout.
+  * One tiny dir per batch is the floor for per-batch observability; the
+  * growth is on the METRICS read path only (never the hot path), and a
+  * long-lived stream can aggregate old rows offline if the listing ever
+  * matters.
   */
 private[streaming] object BatchMetrics {
   def write(spark: SparkSession, dir: String, batchId: Long,

@@ -94,6 +94,53 @@ class BandedPairsSpec extends SparkSpec {
     }
   }
 
+  /** The exact output contract with caps ACTIVE: naive candidates minus
+    * (pairs inside over-cap contraction groups) minus (cross pairs whose
+    * EVERY shared band sits in an over-cap rep bucket) — a cross pair
+    * survives if ANY shared band's bucket is within the cap.
+    */
+  private def naiveCapped(
+      rows: Seq[(Long, Long, Seq[Long])], maxBlock: Int): Set[(Long, Long)] = {
+    val byKey = rows.groupBy(_._2)
+    val rep = byKey.map { case (k, ms) => k -> ms.map(_._1).min }
+    val bands = rows.map(r => r._1 -> r._3).toMap
+    val bucketSize = rep.values.toSeq
+      .flatMap(r => bands(r).zipWithIndex.map { case (v, i) => (i, v) })
+      .groupBy(identity).map { case (kv, xs) => kv -> xs.size }
+    val intra = byKey.values.filter(ms => ms.size > 1 && ms.size <= maxBlock)
+      .flatMap { ms =>
+        val ids = ms.map(_._1)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+    val cross = for {
+      (ka, ra) <- rep.toSeq; (kb, rb) <- rep.toSeq
+      if ka != kb && ra < rb
+      if bands(ra).indices.exists(i =>
+        bands(ra)(i) == bands(rb)(i) && bucketSize((i, bands(ra)(i))) <= maxBlock)
+      ma <- byKey(ka).map(_._1); mb <- byKey(kb).map(_._1)
+    } yield (math.min(ma, mb), math.max(ma, mb))
+    intra.toSet ++ cross
+  }
+
+  test("property: exact drop semantics under active caps (seeded, verify-then-expand)") {
+    for (seed <- Seq(3, 29, 71)) {
+      val r = new scala.util.Random(seed)
+      // small payload space + skewed group sizes -> some groups/buckets
+      // exceed the cap while others stay under it
+      val rows: Seq[(Long, Long, Seq[Long])] =
+        (0L until (120 + r.nextInt(80)).toLong).map { i =>
+          val p = (math.pow(r.nextDouble(), 2) * 10).toInt.toLong * 5 // skew
+          (i, p, Seq(p % 3, p / 3 % 3))
+        }
+      val cfg = PairConfig(saltThreshold = 2 + r.nextInt(4), maxBlockSize = 4 + r.nextInt(10))
+      val got = BandedPairs.verifiedPairs(
+        vItems(rows), col("payload").cast("string"),
+        Seq(lit(1000000L).as("sim")), cfg)(verifier(rows, minSim = 0L)) // verify-all
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === naiveCapped(rows, cfg.maxBlockSize), s"seed=$seed cfg=$cfg")
+    }
+  }
+
   test("degenerate inputs: empty set, singletons, empty band arrays") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Long])].toDF("id", "bands")
