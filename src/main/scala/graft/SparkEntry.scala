@@ -973,7 +973,12 @@ object SparkEntry {
         // truthful for every surviving key group
         e.where(col("nrm") > 0)
           .selectExpr("vec_id AS id", "embedding", "array(bucket) AS bands"),
-        key = md5(concat_ws(",", col("embedding").cast("array<string>"))),
+        // array_join with an explicit null sentinel (ADVICE r4): concat_ws
+        // silently SKIPS null elements, so [1.0,null,2.0] and [1.0,2.0]
+        // would share a contraction key and surface as unverified
+        // cos_micro=1e6 pairs; array_join keeps null slots distinct —
+        // the same null-preserving discipline as bandVectorKey
+        key = md5(array_join(col("embedding").cast("array<string>"), ",", "null")),
         selfSims = Seq(lit(1000000L).as("cos_micro")),
         cfg = config.pairCfg) { reps =>
         reps

@@ -133,21 +133,30 @@ object Sources {
       cleaners: Map[String, Seq[String]] = Map.empty,
       pagesPerRound: Int = 32): DataFrame = {
     import spark.implicits._
-    // binding rows -> (subject, key, value) triples; runs executor-side in
-    // the paged path (captures only small serializable config values)
+    // a ramp width of min(width*2, 0) would pin every round to zero offsets
+    // and spin forever (no round can ever contain the short page)
+    require(pagesPerRound >= 1, s"pagesPerRound must be >= 1, got $pagesPerRound")
+    // binding rows -> (subject, key, value, ord) triples; runs executor-side
+    // in the paged path (captures only small serializable config values).
+    // `ord` is the row's global position in the endpoint's result stream
+    // (page offset + within-page index): the distributed paged fetch unions
+    // per-round frames, so without an explicit order key the multi-valued
+    // collect_list below would depend on partition/union layout instead of
+    // the page order the driver-side loop used to preserve (ADVICE r4)
     val wantedVars = variables.keySet
-    def toTriples(rows: Seq[Map[String, String]]): Seq[(String, String, String)] =
+    def toTriples(rows: Seq[Map[String, String]], baseOrd: Long): Seq[(String, String, String, Long)] =
       if (tripleMode)
-        rows.flatMap(r => for {
+        rows.zipWithIndex.flatMap { case (r, i) => for {
           s <- r.get(idVar); p <- r.get(propVar); o <- r.get(valueVar)
-        } yield (s, p, o))
+        } yield (s, p, o, baseOrd + i) }
       else
-        rows.flatMap(r => r.get(idVar).toSeq.flatMap(s =>
-          wantedVars.toSeq.sorted.flatMap(v => r.get(v).map(o => (s, v, o)))))
+        rows.zipWithIndex.flatMap { case (r, i) => r.get(idVar).toSeq.flatMap(s =>
+          wantedVars.toSeq.sorted.flatMap(v => r.get(v).map(o => (s, v, o, baseOrd + i)))) }
 
     val keyed: DataFrame =
       if (pageSize <= 0)
-        toTriples(Sparql.fetch(endpoint, query)).toDF("subject", "key", "object")
+        toTriples(Sparql.fetch(endpoint, query), 0L)
+          .toDF("subject", "key", "object", "ord")
       else {
         val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
         var off = 0L
@@ -168,11 +177,12 @@ object Sources {
             .coalesce(1).repartition(width)
             .map { o =>
               val rows = Sparql.fetch(endpoint, s"$query LIMIT $pageSize OFFSET $o")
-              (o, rows.size, toTriples(rows))
+              (o, rows.size, toTriples(rows, o))
             }.toDF("offset", "n", "triples"))
           rounds += fetched
             .select(explode(col("triples")).as("t"))
-            .select(col("t._1").as("subject"), col("t._2").as("key"), col("t._3").as("object"))
+            .select(col("t._1").as("subject"), col("t._2").as("key"),
+              col("t._3").as("object"), col("t._4").as("ord"))
           // a short (or empty) page means the result stream ended this round
           exhausted = fetched.select(col("n")).as[Int].collect().exists(_ < pageSize)
           off += width.toLong * pageSize
@@ -181,13 +191,19 @@ object Sources {
         rounds.reduce(_ unionByName _)
       }
 
+    // order-carrying aggregation: collect (ord, value) structs, sort by the
+    // global row order, strip the key — multi-valued property order is the
+    // endpoint's result order regardless of partition layout
     val aggs = variables.toSeq.sortBy(_._2).map { case (k, name) =>
-      collect_list(when(col("key") === k, col("object"))).as(name)
+      sort_array(collect_list(when(col("key") === k,
+        struct(col("ord").as("o1"), col("object").as("v"))))).as(name)
     }
-    val pivoted = keyed
+    val pivoted0 = keyed
       .where(col("key").isInCollection(variables.keySet))
       .groupBy(col("subject").as("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
+    val pivoted = variables.values.foldLeft(pivoted0)((df, name) =>
+      df.withColumn(name, expr(s"transform(`$name`, x -> x.v)")))
     withCleaners(pivoted, cleaners)
   }
 

@@ -297,9 +297,9 @@ object Tables {
     * Spark maps buckets with. Crash safety: the original dir is renamed
     * aside to `<path>_compact_bak` before the compacted dir moves in, and
     * only deleted after — no window where the corpus exists nowhere. A crash
-    * between the two renames leaves the data in the _bak dir (rename it
-    * back to recover); a leftover _bak or _tmp dir is cleaned by the next
-    * compaction.
+    * between the two renames leaves the data only in the _bak dir; the next
+    * compaction auto-recovers by renaming it back into place before reading
+    * (ADVICE r4), and a leftover _tmp dir is simply overwritten.
     */
   def compactBucketed(
       spark: SparkSession,
@@ -311,6 +311,17 @@ object Tables {
     val tmpTable = table + "_compact_tmp"
     val tmpPath = path + "_compact_tmp"
     val bakPath = path + "_compact_bak"
+    // auto-recovery from a crash between the two renames below: the live dir
+    // is gone but the original survives at _bak — restore it before reading
+    // (without this, the spark.read below fails and recovery is manual)
+    locally {
+      val fs0 = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+      val (live, bak) = (new HPath(path), new HPath(bakPath))
+      if (!fs0.exists(live) && fs0.exists(bak)) {
+        require(fs0.rename(bak, live),
+          s"compactBucketed: crash recovery rename $bakPath -> $path failed")
+      }
+    }
     spark.catalog.refreshTable(table)
     // read the FILES, not the catalog table: a bucketed-table scan carries
     // its own output partitioning, which let the planner produce one file

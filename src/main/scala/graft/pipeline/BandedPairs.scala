@@ -203,17 +203,22 @@ object BandedPairs {
     // with rep group sizes g_i loses Σ_{i<j} g_i·g_j = (S² − Σg_i²)/2 member
     // pairs (S = Σg_i; within-group pairs are stage ②'s, not the bucket's).
     // Buckets sharing a dropped rep pair each report it — an upper bound.
+    // mass arithmetic in DOUBLE from the first multiply (ADVICE r4): at the
+    // dup-heavy 10⁹+ member scale this module targets, g² (or the bucket
+    // member-sum squared) overflows Long around 3.04e9 and the skew report
+    // would carry negative garbage exactly when it matters most
     val intraStats = members.where($"id" === $"rep").agg(
       count(when($"g" > cfg.maxBlockSize, 1)).as("i_dropped"),
       coalesce(sum(when($"g" > cfg.maxBlockSize,
-        ($"g" * ($"g" - 1) / 2).cast("double"))), lit(0.0)).as("i_mass"),
+        $"g".cast("double") * ($"g" - 1) / 2)), lit(0.0)).as("i_mass"),
       count(when($"g" > cfg.saltThreshold && $"g" <= cfg.maxBlockSize, 1)).as("i_salted"))
     val crossStats = sizedBands.groupBy($"bix", $"bval")
-      .agg(first($"n").as("n"), sum($"g").as("s"), sum($"g" * $"g").as("sq"))
+      .agg(first($"n").as("n"), sum($"g").as("s"),
+        sum($"g".cast("double") * $"g").as("sq"))
       .agg(
         count(when($"n" > cfg.maxBlockSize, 1)).as("c_dropped"),
         coalesce(sum(when($"n" > cfg.maxBlockSize,
-          (($"s" * $"s" - $"sq") / 2).cast("double"))), lit(0.0)).as("c_mass"),
+          ($"s".cast("double") * $"s" - $"sq") / 2)), lit(0.0)).as("c_mass"),
         count(when($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize, 1)).as("c_salted"))
 
     Contracted(members, intra, repPairs, intraStats.crossJoin(crossStats))
