@@ -134,13 +134,19 @@ object SnapshotMaintenance {
       Files.deleteIfExists(rootP.resolve(s"snapshots/v$k.json"))
     }
     if (cutoff > oldest) Files.writeString(oldestP, cutoff.toString)
-    // prune data/s<k> parents left empty after partition-dir deletion
+    // prune dirs left empty after partition-dir deletion, bottom-up — a
+    // data/s<k> whose nested layout dirs (LabelStore's c/ and d/) emptied
+    // collapses entirely
     val dataP = rootP.resolve("data")
     if (Files.exists(dataP)) {
-      val kids = dataP.toFile.listFiles()
-      if (kids != null) kids.filter(d => d.isDirectory && {
-        val inner = d.listFiles(); inner == null || inner.isEmpty
-      }).foreach(d => Files.deleteIfExists(d.toPath))
+      val walk = Files.walk(dataP)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .filter(p => p != dataP && Files.isDirectory(p))
+        .forEach { p =>
+          val inner = p.toFile.listFiles()
+          if (inner == null || inner.isEmpty) Files.deleteIfExists(p)
+        }
+      finally walk.close()
     }
   }
 }

@@ -140,7 +140,7 @@ class BucketedCorpusSpec extends SparkSpec {
       // incrementally maintained clusters == full CC over all edges, with
       // edge-free docs as singletons; every batch's labeling is
       // time-travelable through the snapshot table
-      val ctbl = new graft.io.HashPartitionedTable(s"$baseB/clusters", "cluster_id", 8)
+      val ctbl = new graft.io.LabelStore(s"$baseB/clusters", 8)
       assert(ctbl.currentSnapshot === Some(3L)) // one snapshot per batch
       val got = ctbl.read(spark).collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -153,12 +153,16 @@ class BucketedCorpusSpec extends SparkSpec {
       assert(ctbl.readSnapshot(spark, 1L).count() === 2L) // batch-1 labeling kept
 
       // partial rewrite (VERDICT r3 #2): batch 3 merges d3 into d1's cluster,
-      // touching the partitions of labels {d1, d3} only — the commit must
-      // physically rewrite at most those 2 of 8 partitions, while the x1/x2
+      // touching the cluster partitions of labels {d1, d3} only — the commit
+      // must physically rewrite at most those 2 of 8 cluster partitions (and
+      // only doc d3's partition in the doc-lookup layout), while the x1/x2
       // partitions keep riding on files from earlier snapshots
       val s3dirs = ctbl.dirsWrittenBy(3L)
-      assert(s3dirs.nonEmpty && s3dirs.size <= 2,
-        s"batch 3 should rewrite <= 2 label partitions, wrote: $s3dirs")
+      val (s3c, s3d) = s3dirs.partition(_.contains("/c/"))
+      assert(s3c.nonEmpty && s3c.size <= 2,
+        s"batch 3 should rewrite <= 2 cluster-label partitions, wrote: $s3c")
+      assert(s3d.size <= 1,
+        s"batch 3 changed only doc d3's mapping, but doc-layout wrote: $s3d")
       val manifest3 = Files.readString(
         java.nio.file.Paths.get(s"$baseB/clusters/snapshots/v3.json"))
       assert(manifest3.contains("data/s1/") || manifest3.contains("data/s2/"),
@@ -166,7 +170,7 @@ class BucketedCorpusSpec extends SparkSpec {
 
       // the parquet run streamed with labelSnapshotsToKeep=1: only the final
       // snapshot's manifest remains, and its labeling still equals `want`
-      val ptbl = new graft.io.HashPartitionedTable(s"$baseP/clusters", "cluster_id", 8)
+      val ptbl = new graft.io.LabelStore(s"$baseP/clusters", 8)
       assert(ptbl.currentSnapshot === Some(3L))
       assert(!Files.exists(java.nio.file.Paths.get(s"$baseP/clusters/snapshots/v1.json")))
       assert(!Files.exists(java.nio.file.Paths.get(s"$baseP/clusters/snapshots/v2.json")))

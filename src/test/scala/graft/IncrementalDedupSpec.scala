@@ -78,7 +78,7 @@ class IncrementalDedupSpec extends SparkSpec {
       // streamed edges, edge-free docs as singletons; keep = min member.
       // This is DedupJob's decisions contract, maintained per micro-batch
       // at affected-partition write cost (LabelCommit)
-      val ctbl = new graft.io.HashPartitionedTable(s"$baseDir/clusters", "cluster_id", 8)
+      val ctbl = new graft.io.LabelStore(s"$baseDir/clusters", 8)
       assert(ctbl.currentSnapshot === Some(3L))
       val gotLabels = ctbl.read(spark).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -120,7 +120,7 @@ class IncrementalDedupSpec extends SparkSpec {
         mem.addData(b: _*); q.processAllAvailable()
       }
     } finally q.stop()
-    val streamed = new graft.io.HashPartitionedTable(s"$baseDir/clusters", "cluster_id", 8)
+    val streamed = new graft.io.LabelStore(s"$baseDir/clusters", 8)
       .read(spark).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
     val summary = graft.jobs.DedupJob.run(

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.io.HashPartitionedTable
+import graft.io.LabelStore
 
 /** The shared per-batch label-commit must be idempotent under foreachBatch's
   * at-least-once replay: a crash BETWEEN the label commit and the corpus
@@ -18,10 +18,17 @@ class LabelCommitSpec extends SparkSpec {
   private def edges(ps: (String, String)*) = ps.toDF("a_id", "b_id")
   private def ids(is: String*) = is.toDF("doc_id")
 
-  // bucket count must match the writer's (read() derives dirs purely from
-  // the manifest today, but a pruning read would need the real count)
+  // bucket count must match the writer's (the pruning reads derive
+  // partitions from it)
   private def labelsOf(dir: String, nBuckets: Int = 8): Seq[(String, String)] =
-    new HashPartitionedTable(dir, "cluster_id", nBuckets).read(spark)
+    new LabelStore(dir, nBuckets).read(spark)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+  // the doc layout must always mirror the cluster layout bit-for-bit — it is
+  // the same logical rows under a second partitioning, committed atomically
+  private def docLayoutOf(dir: String, nBuckets: Int = 8): Seq[(String, String)] =
+    new LabelStore(dir, nBuckets)
+      .readDocPartitions(spark, (0 until nBuckets).toSet)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
 
   test("replayed batch (labels ahead of every other artifact) is a no-op on content") {
@@ -42,9 +49,38 @@ class LabelCommitSpec extends SparkSpec {
     // REPLAY batch 2 (the crash window: labels committed, corpus append
     // lost, stream re-runs the batch). The replayed singleton s2 and the
     // replayed member d3 are already labeled — possibly in OTHER clusters'
-    // partitions — and must not duplicate. No new rows, same labels.
-    LabelCommit.commit(spark, dir, 8, b2Edges, b2Ids, None)
+    // partitions — and must not duplicate. No new rows, same labels, and
+    // NO new snapshot (the delta is empty, so nothing is written at all).
+    val replay = LabelCommit.commit(spark, dir, 8, b2Edges, b2Ids, None)
+    assert(replay.snapshot.isEmpty && replay.clusterParts.isEmpty && replay.docParts.isEmpty)
     assert(labelsOf(dir) === after2)
+    // the doc-partitioned twin layout mirrors the labeling exactly
+    assert(docLayoutOf(dir) === after2)
+  }
+
+  test("per-batch label reads prune to the batch's doc partitions (VERDICT r4 #2)") {
+    val dir = Files.createTempDirectory("graft-lc-prune").toString
+    val store = new LabelStore(dir, 8)
+    def partOfId(id: String): Int =
+      Seq(id).toDF("doc_id").select(store.docPart(col("doc_id"))).collect()(0).getInt(0)
+
+    LabelCommit.commit(spark, dir, 8,
+      edges("d1" -> "d2"), ids("d1", "d2", "s1", "s2", "s3", "s4"), None)
+    // batch 2 touches endpoints {d2, d3} and new doc {d3}: the shared lookup
+    // must read ONLY those ids' doc partitions
+    val stats = LabelCommit.commit(spark, dir, 8, edges("d2" -> "d3"), ids("d3"), None)
+    val wantLookup = Set(partOfId("d2"), partOfId("d3"))
+    assert(stats.lookupDocParts === wantLookup,
+      s"lookup read ${stats.lookupDocParts}, batch ids hash to $wantLookup")
+    // file-listing proof: a pruned doc-layout read lists files ONLY under
+    // the requested partitions' dirs
+    val pruned = store.readDocPartitions(spark, wantLookup)
+    val strayFiles = pruned.inputFiles.filterNot(f =>
+      wantLookup.exists(p => f.contains(s"/d/__part=$p/")))
+    assert(strayFiles.isEmpty, s"pruned read touched: ${strayFiles.mkString(", ")}")
+    // and the doc-layout WRITE was the changed docs' partitions only
+    assert(stats.docParts === Set(partOfId("d3")))
+    assert(docLayoutOf(dir) === labelsOf(dir))
   }
 
   test("property: random batch streams with random replays equal full CC (seeded)") {
@@ -81,6 +117,9 @@ class LabelCommitSpec extends SparkSpec {
           .collect().map(x => x.getString(0) -> x.getString(1)).toMap
       val want = allIds.map(d => d -> full.getOrElse(d, d)).toMap
       assert(got === want, s"seed=$seed")
+      // doc layout stays a bit-exact mirror through merges, relabels,
+      // singleton additions and random replays
+      assert(docLayoutOf(dir, nBuckets = 4).toMap === want, s"seed=$seed doc layout")
     }
   }
 }
