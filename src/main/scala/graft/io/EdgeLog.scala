@@ -1,0 +1,77 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Replay-idempotent, compactable append log for streaming match edges
+  * (VERDICT r4 "What's wrong #1/#3). Layout: one `batch_id=<k>` partition
+  * dir per micro-batch, each written with `mode("overwrite")` — foreachBatch
+  * is at-least-once, and a bare `mode("append")` duplicated the batch's
+  * edges on every crash-replay; overwriting the batch's OWN dir makes the
+  * replay rewrite the same rows instead (the BatchMetrics discipline).
+  *
+  * Readers see one logical (…edge columns…) table: partition discovery
+  * surfaces `batch_id`, which [[read]] drops. An uncommitted crash leaves
+  * only a `_temporary` dir under the batch partition — hidden from Spark's
+  * file listing, then cleanly overwritten by the replay.
+  *
+  * A long-lived stream accumulates one dir per batch; after 10⁵ micro-batches
+  * the file LISTING dominates downstream reads — [[compact]] folds all
+  * committed batch dirs into a single `batch_id=-1` partition (crash-safe
+  * bak/rename swap, auto-recovering like `Tables.compactBucketed`). Run it
+  * only against a cleanly-stopped stream: a crashed stream may hold an
+  * UNCOMMITTED batch dir that the restart will rewrite — compacting it first
+  * would duplicate those edges (the fold keeps `dropDuplicates` as a heal,
+  * but relying on it is not the contract).
+  */
+object EdgeLog {
+
+  /** Write one micro-batch's edges; replay-idempotent (overwrites the
+    * batch's own partition dir).
+    */
+  def write(edges: DataFrame, dir: String, batchId: Long): Unit =
+    edges.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
+  /** All edges across batches, without the layout's `batch_id` column. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("batch_id")
+
+  /** True once at least one batch dir has committed (its `_SUCCESS` marker
+    * landed) — the existence probe for downstream readers.
+    */
+  def hasData(dir: String): Boolean = {
+    val kids = new java.io.File(dir).listFiles()
+    kids != null && kids.exists(f => f.isDirectory &&
+      f.getName.startsWith("batch_id=") &&
+      new java.io.File(f, "_SUCCESS").exists())
+  }
+
+  /** Fold every batch dir into a single `batch_id=-1` partition. Maintenance
+    * op for a STOPPED stream (see class doc); downstream reads are unchanged
+    * row-for-row (`dropDuplicates` over all columns is a no-op on a cleanly
+    * stopped log — edges are emitted exactly once per pair).
+    *
+    * @param targetFiles when > 0, repartition the fold to this many files;
+    *                    0 keeps the read parallelism
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val tmpPath = dir + "_compact_tmp"
+    val bakPath = dir + "_compact_bak"
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    // auto-recovery from a crash between the two renames below
+    if (!fs.exists(new HPath(dir)) && fs.exists(new HPath(bakPath))) {
+      require(fs.rename(new HPath(bakPath), new HPath(dir)),
+        s"EdgeLog.compact: crash recovery rename $bakPath -> $dir failed")
+    }
+    val folded0 = read(spark, dir).dropDuplicates()
+    val folded = if (targetFiles > 0) folded0.repartition(targetFiles) else folded0
+    fs.delete(new HPath(tmpPath), true)
+    folded.write.mode("overwrite").parquet(s"$tmpPath/batch_id=-1")
+    fs.delete(new HPath(bakPath), true)
+    require(fs.rename(new HPath(dir), new HPath(bakPath)),
+      s"EdgeLog.compact: rename $dir -> $bakPath failed")
+    require(fs.rename(new HPath(tmpPath), new HPath(dir)),
+      s"EdgeLog.compact: rename $tmpPath -> $dir failed (original preserved at $bakPath)")
+    fs.delete(new HPath(bakPath), true)
+  }
+}

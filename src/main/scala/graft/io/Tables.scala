@@ -287,6 +287,122 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Replay-idempotent per-batch append to a bucketed external table: rows
+    * land in the batch's own `batch_id=<k>` partition (partitioned AND
+    * bucketed — buckets span partitions, so doc_id/key joins stay
+    * exchange-free across the whole accumulated table), and a foreachBatch
+    * replay dynamically OVERWRITES that partition instead of appending a
+    * duplicate (VERDICT r4 #1: bare `mode("append")` under at-least-once
+    * replay duplicated corpus rows, double-scoring every later pair).
+    * Readers filter `batch_id < currentBatch` — partition pruning both
+    * excludes a replaying batch's own half-written rows and skips nothing
+    * else.
+    *
+    * First commit creates the table; a crashed first attempt leaves a
+    * partial dir with no catalog entry, which the retry clears (nothing else
+    * owns the path before the table exists).
+    */
+  def writeBatchBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = df.sparkSession
+    val withB = df.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table)) {
+      import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+      val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+      fs.delete(new HPath(path), true)
+      // partitionOverwriteMode as a TABLE storage option: insertInto ignores
+      // per-writer options (probed on 4.1.2 — a writer-side option silently
+      // degraded to a FULL-table overwrite), but relation options stored at
+      // creation time do apply, and keep the dynamic semantics out of the
+      // caller's session conf
+      withB.write.partitionBy("batch_id")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", path).option("partitionOverwriteMode", "dynamic")
+        .format("parquet").saveAsTable(table)
+    } else {
+      withB.write.mode("overwrite").insertInto(table)
+    }
+  }
+
+  /** Compact a batch-partitioned bucketed corpus table (the
+    * [[writeBatchBucketed]] layout) into a single `batch_id=-1` partition
+    * with one file per bucket. Same small-file motivation and pause-writers
+    * constraint as [[compactBucketed]]; the swap additionally has to
+    * recreate the catalog entry (partition metadata must forget the folded
+    * `batch_id` values), which is safe because the stream is stopped.
+    * Readers' `batch_id < currentBatch` pruning still works: -1 is below
+    * every real batch id. Crash-safe: data is fully staged at a tmp path
+    * before any destructive step; a crash between the renames auto-recovers
+    * from the _bak dir on the next call.
+    */
+  def compactBatchBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmpTable = table + "_compact_tmp"
+    val tmpPath = path + "_compact_tmp"
+    val bakPath = path + "_compact_bak"
+    val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+    // the OPTIONS clause (not TBLPROPERTIES) is what lands in the relation's
+    // storage properties, where insertInto reads partitionOverwriteMode
+    def recreateCatalogEntry(schemaDdl: String): Unit = {
+      spark.sql(
+        s"""CREATE TABLE $table ($schemaDdl) USING parquet
+           |OPTIONS ('partitionOverwriteMode'='dynamic')
+           |PARTITIONED BY (batch_id)
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      spark.catalog.refreshTable(table)
+    }
+    // crash recovery, in dependency order: restore a live dir from _bak if
+    // the crash fell between the two renames, then restore the catalog entry
+    // if the crash fell between DROP and CREATE (schema from a leaf dir's
+    // files — the raw data carries everything but the partition column)
+    if (!fs.exists(new HPath(path)) && fs.exists(new HPath(bakPath))) {
+      require(fs.rename(new HPath(bakPath), new HPath(path)),
+        s"compactBatchBucketed: crash recovery rename $bakPath -> $path failed")
+    }
+    if (!spark.catalog.tableExists(table)) {
+      require(fs.exists(new HPath(path)),
+        s"compactBatchBucketed: neither table $table nor data at $path exists")
+      val leaf = new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .minBy(_.getName)
+      val dataSchema = spark.read.parquet(leaf.getAbsolutePath).schema
+      recreateCatalogEntry(dataSchema.toDDL + ", batch_id BIGINT")
+    }
+    spark.catalog.refreshTable(table)
+    val schemaDdl = spark.table(table).schema.toDDL
+    val folded = spark.table(table).drop("batch_id")
+      .repartition(nBuckets, col(bucketCol))
+      .withColumn("batch_id", lit(-1L))
+    fs.delete(new HPath(tmpPath), true)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    folded.write.partitionBy("batch_id")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", tmpPath).format("parquet").saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, files stay
+    spark.sql(s"DROP TABLE $table")
+    fs.delete(new HPath(bakPath), true)
+    require(fs.rename(new HPath(path), new HPath(bakPath)),
+      s"compactBatchBucketed: rename $path -> $bakPath failed")
+    require(fs.rename(new HPath(tmpPath), new HPath(path)),
+      s"compactBatchBucketed: rename $tmpPath -> $path failed (original at $bakPath)")
+    fs.delete(new HPath(bakPath), true)
+    recreateCatalogEntry(schemaDdl)
+  }
+
   /** Compact a bucketed external table in place: every micro-batch append
     * (`IncrementalLink` / `IncrementalDedup` corpus tables) adds one file per
     * bucket per writing task, so a long-running stream accumulates thousands

@@ -52,6 +52,9 @@ object IncrementalDedup {
     *                     labels equal full CC over all streamed edges, with
     *                     edge-free docs as singletons (IncrementalDedupSpec).
     */
+  /** @param onBatchComplete see `IncrementalLink.linkStream` — the same
+    *                     end-of-batch observability / failure-injection hook.
+    */
   def nearDupStream(
       stream: DataFrame, // streaming (doc_id: bigint, text: string)
       corpusDir: String,
@@ -62,7 +65,8 @@ object IncrementalDedup {
       cfg: TrainingOps.Config = TrainingOps.config,
       clustersDir: Option[String] = None,
       nClusterBuckets: Int = 8,
-      labelSnapshotsToKeep: Option[Int] = None): StreamingQuery = {
+      labelSnapshotsToKeep: Option[Int] = None,
+      onBatchComplete: Long => Unit = _ => ()): StreamingQuery = {
 
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -76,18 +80,20 @@ object IncrementalDedup {
           val blocksDir = s"$corpusDir/bandblocks"
           val hasCorpus = corpusTable match {
             case Some(tn) => spark.catalog.tableExists(tn + "_bands")
-            case None     => new java.io.File(s"$fpsDir/_SUCCESS").exists()
+            case None     => graft.io.EdgeLog.hasData(fpsDir)
           }
           // previous batches' fps (verify b-side + seen-id set for singleton
-          // detection); doc_id-bucketed when a table name is configured
+          // detection); doc_id-bucketed when a table name is configured.
+          // batch_id < batchId pruning: previous batches only — a replay
+          // must not verify the batch's own half-written twin rows
           val oldFps: Option[DataFrame] =
             if (!hasCorpus) None
-            else Some(corpusTable match {
+            else Some((corpusTable match {
               case Some(tn) =>
                 spark.catalog.refreshTable(tn + "_fps")
                 spark.table(tn + "_fps") // doc_id-bucketed: stays in place
               case None => spark.read.parquet(fpsDir)
-            })
+            }).where($"batch_id" < batchId).drop("batch_id"))
 
           val newBlocks = bandBlocks(newBanded).as[ErPipeline.BlockRow]
           val (nnPairs, _) = ErPipeline.pairs(newBlocks, cfg.pairCfg)
@@ -118,11 +124,13 @@ object IncrementalDedup {
                   spark.catalog.refreshTable(tn + "_bands")
                   spark.table(tn + "_bands")
                 case None => spark.read.parquet(blocksDir)
-              }).as[ErPipeline.BlockRow]
+              }).where($"batch_id" < batchId).drop("batch_id")
+                .as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
               newEdges.unionByName(verified(noPairs.toDF(), fpsTable))
           })
-          edges.write.mode("append").parquet(edgesDir)
+          // replay-idempotent: overwrites the batch's own partition dir
+          graft.io.EdgeLog.write(edges, edgesDir, batchId)
 
           // incremental near-dup clusters (keep = doc_id == cluster_id)
           clustersDir.foreach { dir =>
@@ -136,21 +144,23 @@ object IncrementalDedup {
           BatchMetrics.write(spark, s"$corpusDir/metrics", batchId,
             newBanded.count(), edges.count())
 
-          // grow the corpus (band rows keyed for linkPairs; fps for verify)
+          // grow the corpus (band rows keyed for linkPairs; fps for verify);
+          // per-batch partitions, replay overwrites its own (VERDICT r4 #1)
           corpusTable match {
             case Some(tn) =>
-              newBlocks.toDF().write.mode("append")
-                .bucketBy(nBuckets, "key").sortBy("key")
-                .option("path", blocksDir).format("parquet").saveAsTable(tn + "_bands")
-              newBanded.select($"doc_id", $"fps").write.mode("append")
-                .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-                .option("path", fpsDir).format("parquet").saveAsTable(tn + "_fps")
+              graft.io.Tables.writeBatchBucketed(
+                newBlocks.toDF(), tn + "_bands", blocksDir, "key", nBuckets, batchId)
+              graft.io.Tables.writeBatchBucketed(
+                newBanded.select($"doc_id", $"fps"), tn + "_fps", fpsDir,
+                "doc_id", nBuckets, batchId)
             case None =>
-              newBlocks.toDF().write.mode("append").parquet(blocksDir)
-              newBanded.select($"doc_id", $"fps").write.mode("append").parquet(fpsDir)
+              newBlocks.toDF().write.mode("overwrite")
+                .parquet(s"$blocksDir/batch_id=$batchId")
+              newBanded.select($"doc_id", $"fps").write.mode("overwrite")
+                .parquet(s"$fpsDir/batch_id=$batchId")
           }
         }
-        ()
+        onBatchComplete(batchId)
       }
       .start()
   }

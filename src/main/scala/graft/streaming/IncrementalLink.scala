@@ -288,6 +288,14 @@ object IncrementalLink {
     *                     retained window — shared partition dirs survive as
     *                     long as any retained snapshot references them).
     *                     None (default) keeps every batch's labeling.
+    * @param onBatchComplete called with the batch id as the LAST step of each
+    *                     micro-batch, after every artifact (edges, labels,
+    *                     metrics, corpus) has landed but BEFORE the engine
+    *                     commits the batch to the checkpoint — observability
+    *                     hook, and the failure-injection point the
+    *                     kill/restart recovery test uses (throwing here
+    *                     forces a full at-least-once replay of a batch whose
+    *                     writes all completed).
     */
   def linkStream(
       stream: Dataset[Doc],
@@ -299,7 +307,8 @@ object IncrementalLink {
       nBuckets: Int = 8,
       clustersDir: Option[String] = None,
       nClusterBuckets: Int = 8,
-      labelSnapshotsToKeep: Option[Int] = None): StreamingQuery = {
+      labelSnapshotsToKeep: Option[Int] = None,
+      onBatchComplete: Long => Unit = _ => ()): StreamingQuery = {
     val spark = stream.sparkSession
     import spark.implicits._
 
@@ -320,12 +329,15 @@ object IncrementalLink {
           val blocksDir = s"$corpusDir/blocks"
           val hasCorpus = corpusTable match {
             case Some(tn) => spark.catalog.tableExists(tn)
-            case None     => new java.io.File(s"$recordsDir/_SUCCESS").exists()
+            case None     => graft.io.EdgeLog.hasData(recordsDir)
           }
-          // the accumulated corpus records (previous batches only — this
-          // batch's append happens below): scoring's b-side. doc_id-bucketed
+          // the accumulated corpus records: scoring's b-side. Every corpus
+          // read prunes to `batch_id < batchId` — previous batches only,
+          // which both matches the old append semantics AND excludes the
+          // batch's own rows on an at-least-once replay (scoring a replayed
+          // doc against itself would fabricate self-pairs). doc_id-bucketed
           // when a table name is configured, so the score join leaves it in
-          // place.
+          // place (buckets span the batch partitions).
           val corpusRecs: Option[Dataset[ErPipeline.CleanRecord]] =
             if (!hasCorpus) None
             else Some((corpusTable match {
@@ -337,7 +349,8 @@ object IncrementalLink {
                 spark.catalog.refreshTable(tn)
                 spark.table(tn) // doc_id-bucketed: b-join is exchange-free
               case None => spark.read.parquet(recordsDir)
-            }).as[ErPipeline.CleanRecord])
+            }).where(col("batch_id") < batchId).drop("batch_id")
+              .as[ErPipeline.CleanRecord])
 
           // new-vs-new pairs score against the (small, pinned) batch records;
           // new-vs-old pairs score with the a-side = batch, b-side = corpus —
@@ -356,7 +369,8 @@ object IncrementalLink {
                   spark.catalog.refreshTable(tn + "_blocks")
                   spark.table(tn + "_blocks")
                 case None => spark.read.parquet(blocksDir)
-              }).as[ErPipeline.BlockRow]
+              }).where(col("batch_id") < batchId).drop("batch_id")
+                .as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
               scoredNew.unionByName(
                 ErPipeline.score(noPairs, newRecords, corpus, config))
@@ -367,7 +381,8 @@ object IncrementalLink {
             ErPipeline.matchEdges(scored, config)
               .select(least(col("a_id"), col("b_id")).as("a_id"),
                 greatest(col("a_id"), col("b_id")).as("b_id")))
-          batchEdges.write.mode("append").parquet(edgesDir)
+          // replay-idempotent: overwrites the batch's own partition dir
+          graft.io.EdgeLog.write(batchEdges, edgesDir, batchId)
 
           // incremental transitive clusters: fold this batch's edges into the
           // standing labels, rewriting only affected partitions (LabelCommit)
@@ -382,21 +397,23 @@ object IncrementalLink {
             newRecords.toDF().count(), batchEdges.count())
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later
-          // batch's score join leaves the accumulated records in place
+          // batch's score join leaves the accumulated records in place. Each
+          // batch lands in its own batch_id partition, which a replay
+          // OVERWRITES instead of appending duplicate rows (VERDICT r4 #1)
           corpusTable match {
             case Some(tn) =>
-              newRecords.toDF().write.mode("append")
-                .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-                .option("path", recordsDir).format("parquet").saveAsTable(tn)
-              newBlocks.toDF().write.mode("append")
-                .bucketBy(nBuckets, "key").sortBy("key")
-                .option("path", blocksDir).format("parquet").saveAsTable(tn + "_blocks")
+              graft.io.Tables.writeBatchBucketed(
+                newRecords.toDF(), tn, recordsDir, "doc_id", nBuckets, batchId)
+              graft.io.Tables.writeBatchBucketed(
+                newBlocks.toDF(), tn + "_blocks", blocksDir, "key", nBuckets, batchId)
             case None =>
-              newRecords.toDF().write.mode("append").parquet(recordsDir)
-              newBlocks.toDF().write.mode("append").parquet(blocksDir)
+              newRecords.toDF().write.mode("overwrite")
+                .parquet(s"$recordsDir/batch_id=$batchId")
+              newBlocks.toDF().write.mode("overwrite")
+                .parquet(s"$blocksDir/batch_id=$batchId")
           }
         }
-        ()
+        onBatchComplete(batchId)
       }
       .start()
   }
