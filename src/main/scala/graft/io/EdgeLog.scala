@@ -36,13 +36,17 @@ object EdgeLog {
     spark.read.parquet(dir).drop("batch_id")
 
   /** True once at least one batch dir has committed (its `_SUCCESS` marker
-    * landed) — the existence probe for downstream readers.
+    * landed) — the existence probe for downstream readers. Hadoop FS, not
+    * java.io: this probe runs every micro-batch and must work against
+    * HDFS/object-store paths, not just the local FS.
     */
-  def hasData(dir: String): Boolean = {
-    val kids = new java.io.File(dir).listFiles()
-    kids != null && kids.exists(f => f.isDirectory &&
-      f.getName.startsWith("batch_id=") &&
-      new java.io.File(f, "_SUCCESS").exists())
+  def hasData(spark: SparkSession, dir: String): Boolean = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val p = new HPath(dir)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id=") &&
+      fs.exists(new HPath(s.getPath, "_SUCCESS")))
   }
 
   /** Fold every batch dir into a single `batch_id=-1` partition. Maintenance

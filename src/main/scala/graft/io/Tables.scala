@@ -376,10 +376,10 @@ object Tables {
     if (!spark.catalog.tableExists(table)) {
       require(fs.exists(new HPath(path)),
         s"compactBatchBucketed: neither table $table nor data at $path exists")
-      val leaf = new java.io.File(path).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-        .minBy(_.getName)
-      val dataSchema = spark.read.parquet(leaf.getAbsolutePath).schema
+      val leaf = fs.listStatus(new HPath(path))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .minBy(_.getPath.getName)
+      val dataSchema = spark.read.parquet(leaf.getPath.toString).schema
       recreateCatalogEntry(dataSchema.toDDL + ", batch_id BIGINT")
     }
     spark.catalog.refreshTable(table)

@@ -80,7 +80,7 @@ object IncrementalDedup {
           val blocksDir = s"$corpusDir/bandblocks"
           val hasCorpus = corpusTable match {
             case Some(tn) => spark.catalog.tableExists(tn + "_bands")
-            case None     => graft.io.EdgeLog.hasData(fpsDir)
+            case None     => graft.io.EdgeLog.hasData(spark, fpsDir)
           }
           // previous batches' fps (verify b-side + seen-id set for singleton
           // detection); doc_id-bucketed when a table name is configured.

@@ -329,7 +329,7 @@ object IncrementalLink {
           val blocksDir = s"$corpusDir/blocks"
           val hasCorpus = corpusTable match {
             case Some(tn) => spark.catalog.tableExists(tn)
-            case None     => graft.io.EdgeLog.hasData(recordsDir)
+            case None     => graft.io.EdgeLog.hasData(spark, recordsDir)
           }
           // the accumulated corpus records: scoring's b-side. Every corpus
           // read prunes to `batch_id < batchId` — previous batches only,
