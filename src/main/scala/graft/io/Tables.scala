@@ -298,9 +298,13 @@ object Tables {
     * excludes a replaying batch's own half-written rows and skips nothing
     * else.
     *
-    * First commit creates the table; a crashed first attempt leaves a
-    * partial dir with no catalog entry, which the retry clears (nothing else
-    * owns the path before the table exists).
+    * First commit creates the table. The catalog is per-JVM for Spark's
+    * in-memory implementation, so a stream restarted in a new JVM sees no
+    * catalog entry even though the accumulated corpus is on disk —
+    * [[ensureBatchTable]] recreates the entry from the on-disk layout
+    * instead of destroying it; only a path with NO committed batch dir
+    * (genuine first write, or a first attempt that crashed mid-write and
+    * left just staging files) is cleared and created fresh.
     */
   def writeBatchBucketed(
       df: DataFrame,
@@ -312,7 +316,7 @@ object Tables {
     import org.apache.spark.sql.functions.lit
     val spark = df.sparkSession
     val withB = df.withColumn("batch_id", lit(batchId))
-    if (!spark.catalog.tableExists(table)) {
+    if (!ensureBatchTable(spark, table, path, bucketCol, nBuckets)) {
       import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
       fs.delete(new HPath(path), true)
@@ -328,6 +332,61 @@ object Tables {
     } else {
       withB.write.mode("overwrite").insertInto(table)
     }
+  }
+
+  /** True iff `table` is usable after this call: already in the catalog, or
+    * its entry was just recreated from an existing on-disk
+    * [[writeBatchBucketed]] layout (committed `batch_id=<k>` dirs at
+    * `path`). False when neither exists — the caller owns first-write
+    * semantics. Streams call this both before READING the accumulated
+    * corpus and before writing, so a restart in a fresh JVM (fresh
+    * in-memory catalog) neither loses history nor scores against an
+    *"empty" corpus that is actually on disk.
+    */
+  def ensureBatchTable(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int): Boolean = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    if (spark.catalog.tableExists(table)) true
+    else {
+      val p = new HPath(path)
+      val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+      val leaves =
+        if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(p).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      if (leaves.isEmpty) false
+      else {
+        // schema from a leaf dir's files — the raw data carries everything
+        // but the partition column
+        val dataSchema = spark.read.parquet(leaves.minBy(_.getPath.getName).getPath.toString).schema
+        createBatchTableEntry(spark, table, path, bucketCol, nBuckets,
+          dataSchema.toDDL + ", batch_id BIGINT")
+        true
+      }
+    }
+  }
+
+  // the OPTIONS clause (not TBLPROPERTIES) is what lands in the relation's
+  // storage properties, where insertInto reads partitionOverwriteMode
+  private def createBatchTableEntry(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      bucketCol: String,
+      nBuckets: Int,
+      schemaDdl: String): Unit = {
+    spark.sql(
+      s"""CREATE TABLE $table ($schemaDdl) USING parquet
+         |OPTIONS ('partitionOverwriteMode'='dynamic')
+         |PARTITIONED BY (batch_id)
+         |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    spark.catalog.refreshTable(table)
   }
 
   /** Compact a batch-partitioned bucketed corpus table (the
@@ -353,35 +412,16 @@ object Tables {
     val tmpPath = path + "_compact_tmp"
     val bakPath = path + "_compact_bak"
     val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
-    // the OPTIONS clause (not TBLPROPERTIES) is what lands in the relation's
-    // storage properties, where insertInto reads partitionOverwriteMode
-    def recreateCatalogEntry(schemaDdl: String): Unit = {
-      spark.sql(
-        s"""CREATE TABLE $table ($schemaDdl) USING parquet
-           |OPTIONS ('partitionOverwriteMode'='dynamic')
-           |PARTITIONED BY (batch_id)
-           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-      spark.catalog.refreshTable(table)
-    }
     // crash recovery, in dependency order: restore a live dir from _bak if
     // the crash fell between the two renames, then restore the catalog entry
-    // if the crash fell between DROP and CREATE (schema from a leaf dir's
-    // files — the raw data carries everything but the partition column)
+    // if the crash fell between DROP and CREATE (ensureBatchTable rebuilds
+    // it from a leaf dir's files)
     if (!fs.exists(new HPath(path)) && fs.exists(new HPath(bakPath))) {
       require(fs.rename(new HPath(bakPath), new HPath(path)),
         s"compactBatchBucketed: crash recovery rename $bakPath -> $path failed")
     }
-    if (!spark.catalog.tableExists(table)) {
-      require(fs.exists(new HPath(path)),
-        s"compactBatchBucketed: neither table $table nor data at $path exists")
-      val leaf = fs.listStatus(new HPath(path))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-        .minBy(_.getPath.getName)
-      val dataSchema = spark.read.parquet(leaf.getPath.toString).schema
-      recreateCatalogEntry(dataSchema.toDDL + ", batch_id BIGINT")
-    }
+    require(ensureBatchTable(spark, table, path, bucketCol, nBuckets),
+      s"compactBatchBucketed: neither table $table nor data at $path exists")
     spark.catalog.refreshTable(table)
     val schemaDdl = spark.table(table).schema.toDDL
     val folded = spark.table(table).drop("batch_id")
@@ -400,7 +440,7 @@ object Tables {
     require(fs.rename(new HPath(tmpPath), new HPath(path)),
       s"compactBatchBucketed: rename $tmpPath -> $path failed (original at $bakPath)")
     fs.delete(new HPath(bakPath), true)
-    recreateCatalogEntry(schemaDdl)
+    createBatchTableEntry(spark, table, path, bucketCol, nBuckets, schemaDdl)
   }
 
   /** Compact a bucketed external table in place: every micro-batch append

@@ -78,9 +78,14 @@ object IncrementalDedup {
         if (newBanded.head(1).nonEmpty) {
           val fpsDir = s"$corpusDir/fps"
           val blocksDir = s"$corpusDir/bandblocks"
+          // ensureBatchTable, not tableExists: the catalog is per-JVM, so a
+          // restart in a fresh JVM must rebuild the entries from the on-disk
+          // layout rather than verify against a falsely "empty" corpus
           val hasCorpus = corpusTable match {
-            case Some(tn) => spark.catalog.tableExists(tn + "_bands")
-            case None     => graft.io.EdgeLog.hasData(spark, fpsDir)
+            case Some(tn) =>
+              graft.io.Tables.ensureBatchTable(spark, tn + "_bands", blocksDir, "key", nBuckets) &&
+                graft.io.Tables.ensureBatchTable(spark, tn + "_fps", fpsDir, "doc_id", nBuckets)
+            case None => graft.io.EdgeLog.hasData(spark, fpsDir)
           }
           // previous batches' fps (verify b-side + seen-id set for singleton
           // detection); doc_id-bucketed when a table name is configured.

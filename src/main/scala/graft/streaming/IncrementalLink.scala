@@ -327,9 +327,14 @@ object IncrementalLink {
             ErPipeline.block(newRecords, keyers).toDF()).as[ErPipeline.BlockRow]
           val recordsDir = s"$corpusDir/records"
           val blocksDir = s"$corpusDir/blocks"
+          // ensureBatchTable, not tableExists: the catalog is per-JVM, so a
+          // restart in a fresh JVM must rebuild the entries from the on-disk
+          // layout rather than score against a falsely "empty" corpus
           val hasCorpus = corpusTable match {
-            case Some(tn) => spark.catalog.tableExists(tn)
-            case None     => graft.io.EdgeLog.hasData(spark, recordsDir)
+            case Some(tn) =>
+              graft.io.Tables.ensureBatchTable(spark, tn, recordsDir, "doc_id", nBuckets) &&
+                graft.io.Tables.ensureBatchTable(spark, tn + "_blocks", blocksDir, "key", nBuckets)
+            case None => graft.io.EdgeLog.hasData(spark, recordsDir)
           }
           // the accumulated corpus records: scoring's b-side. Every corpus
           // read prunes to `batch_id < batchId` — previous batches only,

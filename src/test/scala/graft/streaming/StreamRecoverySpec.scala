@@ -213,4 +213,48 @@ class StreamRecoverySpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_rec_corpus_fps")
     }
   }
+
+  test("catalog loss (fresh-JVM restart) neither destroys nor hides the corpus") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-rec3").toString + "/t"
+    val t = "graft_rec3_t"
+    try {
+      // batches 0 and 1 through the per-batch writer
+      graft.io.Tables.writeBatchBucketed(
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v"), t, path, "doc_id", 8, 0L)
+      graft.io.Tables.writeBatchBucketed(
+        Seq((3L, "c")).toDF("doc_id", "v"), t, path, "doc_id", 8, 1L)
+
+      // a restarted stream reads with batch_id < current: the filter must
+      // prune at the partition level — files of batch 1 are never opened
+      val readFiles = spark.table(t).where(col("batch_id") < 1L)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(readFiles.nonEmpty && readFiles.forall(_.contains("batch_id=0")),
+        s"batch_id<1 read opened non-batch-0 files: ${readFiles.mkString(",")}")
+
+      // simulate a fresh JVM: the in-memory catalog forgets the table while
+      // the data survives on disk (external table — DROP is metadata-only)
+      spark.sql(s"DROP TABLE $t")
+      // the write path must RECOVER the entry and append batch 2, not wipe
+      // the path and recreate it with only the new batch
+      graft.io.Tables.writeBatchBucketed(
+        Seq((4L, "d")).toDF("doc_id", "v"), t, path, "doc_id", 8, 2L)
+      val all = spark.table(t).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(all === Set(1L, 2L, 3L, 4L), s"history lost after catalog loss: $all")
+
+      // and a replay of batch 2 after the recovery still overwrites, not appends
+      graft.io.Tables.writeBatchBucketed(
+        Seq((4L, "d")).toDF("doc_id", "v"), t, path, "doc_id", 8, 2L)
+      assert(spark.table(t).count() === 4L)
+
+      // read-path recovery: ensureBatchTable rebuilds a dropped entry (true)
+      // but reports a genuinely absent table as such (false, nothing created)
+      spark.sql(s"DROP TABLE $t")
+      assert(graft.io.Tables.ensureBatchTable(spark, t, path, "doc_id", 8))
+      assert(spark.table(t).count() === 4L)
+      assert(!graft.io.Tables.ensureBatchTable(
+        spark, t + "_absent", path + "_absent", "doc_id", 8))
+      assert(!spark.catalog.tableExists(t + "_absent"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
