@@ -67,6 +67,8 @@ object EdgeLog {
       require(fs.rename(new HPath(bakPath), new HPath(dir)),
         s"EdgeLog.compact: crash recovery rename $bakPath -> $dir failed")
     }
+    require(hasData(spark, dir),
+      s"EdgeLog.compact: no committed batch dirs at $dir (nothing to compact)")
     val folded0 = read(spark, dir).dropDuplicates()
     val folded = if (targetFiles > 0) folded0.repartition(targetFiles) else folded0
     fs.delete(new HPath(tmpPath), true)

@@ -341,7 +341,11 @@ object Tables {
     * semantics. Streams call this both before READING the accumulated
     * corpus and before writing, so a restart in a fresh JVM (fresh
     * in-memory catalog) neither loses history nor scores against an
-    *"empty" corpus that is actually on disk.
+    * "empty" corpus that is actually on disk. `bucketCol`/`nBuckets` must
+    * match the original writer's spec — Spark trusts the recreated bucket
+    * DDL against the existing file layout, so a mismatch silently breaks
+    * the exchange-free join guarantee (callers pass the same constants the
+    * stream was configured with).
     */
   def ensureBatchTable(
       spark: SparkSession,
