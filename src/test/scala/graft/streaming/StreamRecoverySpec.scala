@@ -199,8 +199,13 @@ class StreamRecoverySpec extends SparkSpec {
       graft.jobs.MaintenanceJob.run(spark, Seq("compact-corpus",
         "graft_rec_corpus_bands", s"$base/corpus/bandblocks", "key", "8"))
 
-      // and the stream keeps running against the compacted corpus: a 4th
-      // batch with another exact dup still links to the folded history
+      // and the stream keeps running against the compacted corpus even after
+      // a fresh-JVM restart (simulated: the in-memory catalog forgets both
+      // tables — hasCorpus must rebuild the entries from the on-disk layout,
+      // not score against a falsely empty corpus): a 4th batch with another
+      // exact dup still links to the folded history
+      spark.sql("DROP TABLE graft_rec_corpus_bands")
+      spark.sql("DROP TABLE graft_rec_corpus_fps")
       landBatch(Seq(4L -> txt).toDF("doc_id", "text"), in, 3)
       val q3 = stream(base, Some("graft_rec_corpus"), _ => ())
       try q3.processAllAvailable() finally q3.stop()
