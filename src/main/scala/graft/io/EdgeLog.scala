@@ -15,13 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file listing, then cleanly overwritten by the replay.
   *
   * A long-lived stream accumulates one dir per batch; after 10⁵ micro-batches
-  * the file LISTING dominates downstream reads — [[compact]] folds all
-  * committed batch dirs into a single `batch_id=-1` partition (crash-safe
-  * bak/rename swap, auto-recovering like `Tables.compactBucketed`). Run it
-  * only against a cleanly-stopped stream: a crashed stream may hold an
-  * UNCOMMITTED batch dir that the restart will rewrite — compacting it first
-  * would duplicate those edges (the fold keeps `dropDuplicates` as a heal,
-  * but relying on it is not the contract).
+  * the file LISTING dominates downstream reads — [[compact]] folds all batch
+  * dirs EXCEPT the newest into a single `batch_id=-1` partition (crash-safe
+  * bak/rename swap, auto-recovering like `Tables.compactBucketed`). The
+  * newest batch — the only one a crashed stream can have left uncommitted in
+  * the checkpoint — is carried over untouched, so a restart's replay
+  * overwrites it in place instead of duplicating rows the fold already
+  * absorbed; compaction is therefore safe against a stopped OR crashed
+  * stream (writers merely have to be paused during the swap).
   */
 object EdgeLog {
 
@@ -49,19 +50,26 @@ object EdgeLog {
       fs.exists(new HPath(s.getPath, "_SUCCESS")))
   }
 
-  /** Fold every batch dir into a single `batch_id=-1` partition. Maintenance
-    * op for a STOPPED stream (see class doc); downstream reads are unchanged
-    * row-for-row (`dropDuplicates` over all columns is a no-op on a cleanly
-    * stopped log — edges are emitted exactly once per pair).
+  /** Fold all batch dirs EXCEPT the newest into a single `batch_id=-1`
+    * partition; the newest batch's dir is carried over untouched. Keeping
+    * the newest out of the fold is what makes this op safe against a
+    * CRASHED (not just cleanly stopped) stream: the one batch that can be
+    * uncommitted in the checkpoint is the newest, and the restart's replay
+    * overwrites that partition in place — folding it into `-1` first would
+    * have let the replay re-add its rows beside the folded copy. Downstream
+    * reads are unchanged row-for-row (`dropDuplicates` over all columns is
+    * a no-op on a healthy log — edges are emitted exactly once per pair).
+    * Writers must still be paused (readers race the directory swap).
     *
     * @param targetFiles when > 0, repartition the fold to this many files;
     *                    0 keeps the read parallelism
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
     val tmpPath = dir + "_compact_tmp"
     val bakPath = dir + "_compact_bak"
-    val fs = FileSystem.get(new java.net.URI(dir), spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
     // auto-recovery from a crash between the two renames below
     if (!fs.exists(new HPath(dir)) && fs.exists(new HPath(bakPath))) {
       require(fs.rename(new HPath(bakPath), new HPath(dir)),
@@ -69,10 +77,22 @@ object EdgeLog {
     }
     require(hasData(spark, dir),
       s"EdgeLog.compact: no committed batch dirs at $dir (nothing to compact)")
-    val folded0 = read(spark, dir).dropDuplicates()
+    val ids = fs.listStatus(new HPath(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val maxId = ids.max
+    val foldIds = ids.filter(_ != maxId)
+    if (foldIds.isEmpty) return // one batch only: nothing to fold
+    val folded0 = spark.read
+      .parquet(foldIds.map(i => s"$dir/batch_id=$i").toIndexedSeq: _*)
+      .dropDuplicates()
     val folded = if (targetFiles > 0) folded0.repartition(targetFiles) else folded0
     fs.delete(new HPath(tmpPath), true)
     folded.write.mode("overwrite").parquet(s"$tmpPath/batch_id=-1")
+    // the newest batch rides over as-is (copy, not move: the original dir
+    // stays complete until the swap, so a crash anywhere recovers from _bak)
+    FileUtil.copy(fs, new HPath(s"$dir/batch_id=$maxId"),
+      fs, new HPath(s"$tmpPath/batch_id=$maxId"), false, conf)
     fs.delete(new HPath(bakPath), true)
     require(fs.rename(new HPath(dir), new HPath(bakPath)),
       s"EdgeLog.compact: rename $dir -> $bakPath failed")

@@ -3,7 +3,6 @@ package graft.io
 import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
 
 /** Atomic dual-layout snapshot store for streaming cluster labels
   * (VERDICT r4 "What's wrong #2"): the same logical (doc_id, cluster_id)
@@ -44,17 +43,14 @@ class LabelStore(val root: String, val nClusterBuckets: Int, val nDocBuckets: In
   /** Partition of a `cluster_id` value in layout `c` (the writer's own
     * expression — callers derive affected partitions with it).
     */
-  def clusterPart(c: Column): Column =
-    pmod(xxhash64(c), lit(nClusterBuckets.toLong)).cast("int")
+  def clusterPart(c: Column): Column = HashLayout.partExpr(c, nClusterBuckets)
 
   /** Partition of a `doc_id` value in layout `d`. */
-  def docPart(c: Column): Column =
-    pmod(xxhash64(c), lit(nDocBuckets.toLong)).cast("int")
+  def docPart(c: Column): Column = HashLayout.partExpr(c, nDocBuckets)
 
   private def snapshotDirs(k: Long): Seq[String] = SnapshotIo.dirs(rootP, k)
 
-  private def partOf(dir: String): Int =
-    dir.substring(dir.lastIndexOf("__part=") + "__part=".length).toInt
+  private def partOf(dir: String): Int = HashLayout.partOf(dir)
 
   private def isCluster(dir: String): Boolean = dir.contains("/c/")
 
@@ -65,10 +61,7 @@ class LabelStore(val root: String, val nClusterBuckets: Int, val nDocBuckets: In
     val dataDir = s"data/s$k/$layout"
     df.withColumn("__part", part)
       .write.mode("overwrite").partitionBy("__part").parquet(s"$root/$dataDir")
-    val d = rootP.resolve(dataDir).toFile.listFiles()
-    if (d == null) Seq.empty
-    else d.filter(f => f.isDirectory && f.getName.startsWith("__part="))
-      .map(f => s"$dataDir/${f.getName}").toSeq.sorted
+    HashLayout.listPartDirs(rootP, dataDir)
   }
 
   /** Full write of both layouts (first labeling, or a rebuild). */

@@ -136,18 +136,62 @@ object SnapshotMaintenance {
     if (cutoff > oldest) Files.writeString(oldestP, cutoff.toString)
     // prune dirs left empty after partition-dir deletion, bottom-up — a
     // data/s<k> whose nested layout dirs (LabelStore's c/ and d/) emptied
-    // collapses entirely
+    // collapses entirely. "Empty" includes dirs whose only remaining entries
+    // are `_`/`.`-prefixed marker files (partitionBy writes a `_SUCCESS` at
+    // the layout root that would otherwise keep one dead s<k> dir pair alive
+    // per expired snapshot, forever); dirs a retained manifest references are
+    // never touched (an empty-frame commit legitimately produces a
+    // marker-only dir that readSnapshot must still be able to open)
+    val retainedAbs = retained.map(d => rootP.resolve(d).normalize)
     val dataP = rootP.resolve("data")
     if (Files.exists(dataP)) {
       val walk = Files.walk(dataP)
       try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .filter(p => p != dataP && Files.isDirectory(p))
+        .filter(p => p != dataP && Files.isDirectory(p) &&
+          !retainedAbs.contains(p.normalize))
         .forEach { p =>
           val inner = p.toFile.listFiles()
+          val onlyMarkers = inner != null && inner.forall(f =>
+            f.isFile && (f.getName.startsWith("_") || f.getName.startsWith(".")))
           if (inner == null || inner.isEmpty) Files.deleteIfExists(p)
+          else if (onlyMarkers) {
+            inner.foreach(f => Files.deleteIfExists(f.toPath))
+            Files.deleteIfExists(p)
+          }
         }
       finally walk.close()
     }
+  }
+}
+
+/** The hash-partitioned dir layout shared by [[HashPartitionedTable]] and
+  * [[LabelStore]]: one `__part=i` dir per `pmod(xxhash64(key), n)` bucket.
+  * Single definition so the writer's partition expression, the dir-name
+  * parser, and the post-write listing can never diverge between the two
+  * table classes.
+  */
+private[io] object HashLayout {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+
+  /** The partition a key value belongs to (the writer's own expression —
+    * callers derive affected partitions with it).
+    */
+  def partExpr(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
+
+  /** Partition index encoded in a `__part=i` dir path. */
+  def partOf(dir: String): Int =
+    dir.substring(dir.lastIndexOf("__part=") + "__part=".length).toInt
+
+  /** Relative `__part=` dirs now present under `rootP/dataDir` (the listing
+    * a commit records in its manifest; empty partitions create no dir).
+    */
+  def listPartDirs(rootP: Path, dataDir: String): Seq[String] = {
+    val d = rootP.resolve(dataDir).toFile.listFiles()
+    if (d == null) Seq.empty
+    else d.filter(f => f.isDirectory && f.getName.startsWith("__part="))
+      .map(f => s"$dataDir/${f.getName}").toSeq.sorted
   }
 }
 
@@ -183,26 +227,18 @@ class HashPartitionedTable(val root: String, val partCol: String, val nBuckets: 
     * writer uses — callers compute affected partitions with it).
     */
   def partitionExpr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.xxhash64(c),
-      org.apache.spark.sql.functions.lit(nBuckets.toLong)).cast("int")
+    HashLayout.partExpr(c, nBuckets)
 
   private def snapshotDirs(k: Long): Seq[String] = SnapshotIo.dirs(rootP, k)
 
-  private def partOf(dir: String): Int =
-    dir.substring(dir.lastIndexOf("__part=") + "__part=".length).toInt
+  private def partOf(dir: String): Int = HashLayout.partOf(dir)
 
   private def commit(df: DataFrame, op: String, replaced: Option[Set[Int]]): Long = {
     val k = currentSnapshot.getOrElse(0L) + 1
     val dataDir = s"data/s$k"
     df.withColumn("__part", partitionExpr(df(partCol)))
       .write.mode("overwrite").partitionBy("__part").parquet(s"$root/$dataDir")
-    val newDirs = {
-      val d = rootP.resolve(dataDir).toFile.listFiles()
-      if (d == null) Seq.empty
-      else d.filter(f => f.isDirectory && f.getName.startsWith("__part="))
-        .map(f => s"$dataDir/${f.getName}").toSeq.sorted
-    }
+    val newDirs = HashLayout.listPartDirs(rootP, dataDir)
     val dirs = (op, replaced) match {
       case ("overwrite", None) => newDirs
       case ("append", None) => currentSnapshot.map(snapshotDirs).getOrElse(Nil) ++ newDirs
@@ -319,6 +355,17 @@ object Tables {
     if (!ensureBatchTable(spark, table, path, bucketCol, nBuckets)) {
       import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+      // first write: the only thing we may clear is our own crashed first
+      // attempt (staging/marker files, all `_`/`.`-prefixed). A path holding
+      // anything else — e.g. a pre-batch-layout flat corpus — is NOT ours to
+      // destroy: fail loudly instead of silently wiping history
+      if (fs.exists(new HPath(path))) {
+        val visible = fs.listStatus(new HPath(path))
+          .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+        require(visible.isEmpty,
+          s"writeBatchBucketed: $path holds non-batch-layout data (${visible.take(3).mkString(", ")}…); " +
+            "refusing to overwrite — migrate or clear it explicitly")
+      }
       fs.delete(new HPath(path), true)
       // partitionOverwriteMode as a TABLE storage option: insertInto ignores
       // per-writer options (probed on 4.1.2 — a writer-side option silently
@@ -394,11 +441,18 @@ object Tables {
   }
 
   /** Compact a batch-partitioned bucketed corpus table (the
-    * [[writeBatchBucketed]] layout) into a single `batch_id=-1` partition
-    * with one file per bucket. Same small-file motivation and pause-writers
-    * constraint as [[compactBucketed]]; the swap additionally has to
-    * recreate the catalog entry (partition metadata must forget the folded
-    * `batch_id` values), which is safe because the stream is stopped.
+    * [[writeBatchBucketed]] layout): every partition EXCEPT the newest folds
+    * into a single `batch_id=-1` partition with one file per bucket; the
+    * newest batch's partition is carried over untouched. As in
+    * `EdgeLog.compact`, keeping the newest out of the fold makes the op safe
+    * against a CRASHED stream — the one batch that can be uncommitted in the
+    * checkpoint is the newest, and the restart's replay dynamically
+    * overwrites that partition in place (folding it first would let the
+    * replay re-add its rows beside the folded copy, re-creating the
+    * duplicate-corpus-row bug this layout exists to prevent). Same
+    * small-file motivation and pause-writers constraint as
+    * [[compactBucketed]]; the swap additionally recreates the catalog entry
+    * (partition metadata must forget the folded `batch_id` values).
     * Readers' `batch_id < currentBatch` pruning still works: -1 is below
     * every real batch id. Crash-safe: data is fully staged at a tmp path
     * before any destructive step; a crash between the renames auto-recovers
@@ -410,12 +464,13 @@ object Tables {
       path: String,
       bucketCol: String,
       nBuckets: Int): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path => HPath}
     import org.apache.spark.sql.functions.{col, lit}
     val tmpTable = table + "_compact_tmp"
     val tmpPath = path + "_compact_tmp"
     val bakPath = path + "_compact_bak"
-    val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(new java.net.URI(path), conf)
     // crash recovery, in dependency order: restore a live dir from _bak if
     // the crash fell between the two renames, then restore the catalog entry
     // if the crash fell between DROP and CREATE (ensureBatchTable rebuilds
@@ -427,8 +482,15 @@ object Tables {
     require(ensureBatchTable(spark, table, path, bucketCol, nBuckets),
       s"compactBatchBucketed: neither table $table nor data at $path exists")
     spark.catalog.refreshTable(table)
+    val ids = fs.listStatus(new HPath(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    require(ids.nonEmpty, s"compactBatchBucketed: no batch partitions at $path")
+    val maxId = ids.max
+    if (ids.length == 1) return // one batch only: nothing to fold
     val schemaDdl = spark.table(table).schema.toDDL
-    val folded = spark.table(table).drop("batch_id")
+    val folded = spark.table(table).where(col("batch_id") =!= maxId)
+      .drop("batch_id")
       .repartition(nBuckets, col(bucketCol))
       .withColumn("batch_id", lit(-1L))
     fs.delete(new HPath(tmpPath), true)
@@ -437,6 +499,11 @@ object Tables {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .option("path", tmpPath).format("parquet").saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, files stay
+    // the newest batch rides over as-is (copy, not move: the original dir
+    // stays complete until the swap, so a crash anywhere recovers from _bak;
+    // bucket file naming is preserved, so the join guarantee is too)
+    FileUtil.copy(fs, new HPath(s"$path/batch_id=$maxId"),
+      fs, new HPath(s"$tmpPath/batch_id=$maxId"), false, conf)
     spark.sql(s"DROP TABLE $table")
     fs.delete(new HPath(bakPath), true)
     require(fs.rename(new HPath(path), new HPath(bakPath)),

@@ -51,8 +51,7 @@ object IncrementalDedup {
     *                     delta-commit machinery as `linkStream` (LabelCommit);
     *                     labels equal full CC over all streamed edges, with
     *                     edge-free docs as singletons (IncrementalDedupSpec).
-    */
-  /** @param onBatchComplete see `IncrementalLink.linkStream` — the same
+    * @param onBatchComplete see `IncrementalLink.linkStream` — the same
     *                     end-of-batch observability / failure-injection hook.
     */
   def nearDupStream(
@@ -85,7 +84,12 @@ object IncrementalDedup {
             case Some(tn) =>
               graft.io.Tables.ensureBatchTable(spark, tn + "_bands", blocksDir, "key", nBuckets) &&
                 graft.io.Tables.ensureBatchTable(spark, tn + "_fps", fpsDir, "doc_id", nBuckets)
-            case None => graft.io.EdgeLog.hasData(spark, fpsDir)
+            case None =>
+              // BOTH dirs must have a committed batch: a crash between the
+              // bands write and the fps write would otherwise leave hasCorpus
+              // true with one of the two reads below failing forever
+              graft.io.EdgeLog.hasData(spark, fpsDir) &&
+                graft.io.EdgeLog.hasData(spark, blocksDir)
           }
           // previous batches' fps (verify b-side + seen-id set for singleton
           // detection); doc_id-bucketed when a table name is configured.

@@ -76,11 +76,6 @@ private[streaming] object LabelCommit {
       clusterParts: Set[Int],
       docParts: Set[Int])
 
-  /** Last commit's stats, for test assertions reaching through
-    * `foreachBatch` (the commit itself returns them to direct callers).
-    */
-  @volatile private[graft] var lastStats: Option[CommitStats] = None
-
   /** @param batchEdges (a_id, b_id) match edges, pinned by the caller
     * @param newDocIds  one `doc_id` column: every doc in this batch
     * @param keepSnapshots when set, expire label snapshots to the newest N
@@ -172,7 +167,6 @@ private[streaming] object LabelCommit {
         }
     }
     keepSnapshots.foreach(store.expireSnapshots)
-    lastStats = Some(stats)
     stats
   }
 }
@@ -334,7 +328,12 @@ object IncrementalLink {
             case Some(tn) =>
               graft.io.Tables.ensureBatchTable(spark, tn, recordsDir, "doc_id", nBuckets) &&
                 graft.io.Tables.ensureBatchTable(spark, tn + "_blocks", blocksDir, "key", nBuckets)
-            case None => graft.io.EdgeLog.hasData(spark, recordsDir)
+            case None =>
+              // BOTH dirs must have a committed batch: a crash between the
+              // records write and the blocks write would otherwise leave
+              // hasCorpus true with the blocks read below failing forever
+              graft.io.EdgeLog.hasData(spark, recordsDir) &&
+                graft.io.EdgeLog.hasData(spark, blocksDir)
           }
           // the accumulated corpus records: scoring's b-side. Every corpus
           // read prunes to `batch_id < batchId` — previous batches only,

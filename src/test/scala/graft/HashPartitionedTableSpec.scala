@@ -79,6 +79,22 @@ class HashPartitionedTableSpec extends SparkSpec {
     intercept[Exception](tbl.readSnapshot(spark, 1L)) // time travel window gone
   }
 
+  test("LabelStore expiry collapses fully-replaced snapshot dirs, markers included") {
+    val root = Files.createTempDirectory("lsexp").toString
+    val store = new graft.io.LabelStore(root, 4)
+    store.overwrite(rows("d1", "d2", "d3")) // s1, both layouts
+    store.overwrite(rows("d1", "d2", "d3", "d4")) // s2 full rewrite: s1 unreferenced
+    store.expireSnapshots(keepLast = 1)
+    // partitionBy leaves a _SUCCESS at data/s1/{c,d}; the sweep must treat a
+    // marker-only dir as empty, or one dead s<k> dir pair survives per
+    // expired snapshot forever (unbounded listing growth on a long stream)
+    assert(!Files.exists(Paths.get(s"$root/data/s1")),
+      "fully-replaced snapshot dir must collapse entirely")
+    val want = Seq("d1", "d2", "d3", "d4").map(i => (i, i)).toSet
+    assert(readSet(store.read(spark)) === want)
+    assert(readSet(store.readDocPartitions(spark, Set(0, 1, 2, 3))) === want)
+  }
+
   test("PartitionedParquetTable expiry: overwritten snapshots' data is reclaimed") {
     val root = Files.createTempDirectory("ppt1").toString
     val tbl = new PartitionedParquetTable(root)

@@ -161,6 +161,16 @@ class StreamRecoverySpec extends SparkSpec {
         intercept[Exception] { q1.processAllAvailable() }
       } finally q1.stop()
 
+      // compact WHILE CRASHED (batch 1's artifacts on disk, checkpoint
+      // uncommitted): the keep-newest fold must leave batch 1's partitions
+      // un-folded so the restart's replay overwrites them in place instead
+      // of duplicating rows beside a folded copy
+      graft.jobs.MaintenanceJob.run(spark, Seq("compact-edges", s"$base/edges"))
+      graft.jobs.MaintenanceJob.run(spark, Seq("compact-corpus",
+        "graft_rec_corpus_fps", s"$base/corpus/fps", "doc_id", "8"))
+      graft.jobs.MaintenanceJob.run(spark, Seq("compact-corpus",
+        "graft_rec_corpus_bands", s"$base/corpus/bandblocks", "key", "8"))
+
       val q2 = stream(base, Some("graft_rec_corpus"), _ => ())
       try {
         q2.processAllAvailable()
@@ -190,7 +200,11 @@ class StreamRecoverySpec extends SparkSpec {
       graft.jobs.MaintenanceJob.run(spark,
         Seq("compact-edges", s"$base/edges"))
       assert(rows(EdgeLog.read(spark, s"$base/edges")) === preEdges)
-      assert(spark.read.parquet(s"$base/edges").inputFiles.length === 1)
+      // keep-newest fold: exactly the folded partition plus the newest batch
+      // (the one a crashed stream's restart would replay-overwrite in place)
+      val edgeParts = new java.io.File(s"$base/edges").listFiles()
+        .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+      assert(edgeParts === Set("batch_id=-1", "batch_id=2"), edgeParts)
 
       val preFps = rows(spark.table("graft_rec_corpus_fps").drop("batch_id"))
       graft.jobs.MaintenanceJob.run(spark, Seq("compact-corpus",
