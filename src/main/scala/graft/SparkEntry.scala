@@ -178,8 +178,15 @@ object SparkEntry {
     }),
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // qty_cents as FINAL tiebreaker: the synthetic lineitem is allowed to
+      // repeat (l_suppkey, l_shipdate, l_orderkey, l_linenumber) (1 dup at
+      // sf0.1), and a running sum over tied rows with differing quantities
+      // is order-dependent — with quantity pinned last, tied rows either
+      // order deterministically or are identical, so the output multiset is
+      // engine-independent (a compare flake caught the sf0.1 dup)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("qty_cents"))
         .rowsBetween(Window.unboundedPreceding, 0)
       t(s, dir, "lineitem")
         .withColumn("qty_cents", floor(col("l_quantity") * 100 + 0.5).cast("long"))
@@ -446,15 +453,15 @@ object SparkEntry {
         micro(sim_person_name(na, nb)).as("pn_micro"))
     }),
 
-    // ---------------- comparators DuckDB genuinely cannot express (rows-only) ----------------
-    // Residual by construction, not omission: LCS repeatedly REMOVES the
-    // longest common substring (a stateful loop over shrinking strings —
-    // the recursive-CTE restatement segfaults DuckDB 1.0 under nested
-    // lambdas, verified in-session), Metaphone is a stateful FSM. Pinned by
-    // golden kernel tests (SimilaritySpec); the driver records a rows-only
-    // check. person_micro over free-form names stays here as well — the
-    // oracled q_pair_person_name covers the 2×2-token shape; arbitrary token
-    // counts need unbounded greedy state.
+    // ---------------- stateful comparators, oracled via loop unrolling ----------------
+    // LCS's removal loop and Metaphone's FSM have no direct SQL form (their
+    // recursive-CTE restatements segfault DuckDB 1.0 under nested lambdas,
+    // verified in-session) — but the fixture's strings are short, so both
+    // loops UNROLL into flat bounded CTE chains (DuckSql.lcsRemovalCtes /
+    // metaphoneCtes, each validated bit-exact against the JVM kernels
+    // in-session). person_micro over the fixture's single-token names takes
+    // personNameSim's 1×1 greedy path = min(0.95, tokenNameSim); the oracled
+    // q_pair_person_name covers the 2×2-token shape.
     "q_pair_residual_sims" -> ((s, dir) => {
       pairSet(s, dir).select(
         col("c_custkey"), col("s_suppkey"),
@@ -581,7 +588,8 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       CAST(sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
         |         OVER (PARTITION BY l_suppkey
-        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                        CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty_cents
         |FROM lineitem""".stripMargin,
     "q1_agg" ->
@@ -741,6 +749,28 @@ object SparkEntry {
         maxMeters = 1000000.0)
       s"""SELECT c_custkey, s_suppkey, ${microSql(sim)} AS geo_micro
          |$pairSetSql""".stripMargin
+    },
+    "q_pair_residual_sims" -> {
+      // The two stateful kernels, loop-UNROLLED into flat CTE chains (see
+      // the queries-side comment): metaphone codes computed once over the
+      // distinct name vocabulary and joined back; the LCS removal loop
+      // unrolled over the pair set; person = the single-token greedy path.
+      val (mpCtes, mpRel) = DuckSql.metaphoneCtes(
+        "(SELECT c_name AS word FROM customer UNION SELECT s_name FROM supplier)")
+      val (lcsCtes, lcsRel, lcsCommon) = DuckSql.lcsRemovalCtes(
+        Seq("c_custkey", "s_suppkey", "c_name", "s_name"),
+        "c_name", "s_name", pairSetSql)
+      val person = s"CASE WHEN p.c_name = p.s_name THEN 1.0 " +
+        s"ELSE LEAST(0.95, ${DuckSql.tokenNameSim("p.c_name", "p.s_name")}) END"
+      s"""WITH $mpCtes,
+         |$lcsCtes
+         |SELECT p.c_custkey, p.s_suppkey,
+         |  ${microSql(person)} AS person_micro,
+         |  ${microSql(s"CASE WHEN tot = 0 THEN 0.0 ELSE 2.0 * $lcsCommon / tot END")} AS lcs_micro,
+         |  CASE WHEN mc.code = ms.code THEN 1000000 ELSE 0 END AS mp_eq_micro
+         |FROM $lcsRel p
+         |JOIN $mpRel mc ON mc.word = p.c_name
+         |JOIN $mpRel ms ON ms.word = p.s_name""".stripMargin
     })
 
   // ================= training-data pipeline ops (dedup / simsearch / text / multimodal) =================

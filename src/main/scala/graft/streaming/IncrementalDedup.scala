@@ -128,13 +128,17 @@ object IncrementalDedup {
           val edges = graft.io.Persist.truncate(oldFps match {
             case None => newEdges
             case Some(fpsTable) =>
-              val oldBlocks = (corpusTable match {
-                case Some(tn) =>
-                  spark.catalog.refreshTable(tn + "_bands")
-                  spark.table(tn + "_bands")
-                case None => spark.read.parquet(blocksDir)
-              }).where($"batch_id" < batchId).drop("batch_id")
-                .as[ErPipeline.BlockRow]
+              // trickle-batch probe pruning: redundant key IN (...) hint so
+              // bucket files / row groups outside the batch's bands are
+              // skipped (see graft.streaming.ProbePrune)
+              val oldBlocks = ProbePrune(
+                (corpusTable match {
+                  case Some(tn) =>
+                    spark.catalog.refreshTable(tn + "_bands")
+                    spark.table(tn + "_bands")
+                  case None => spark.read.parquet(blocksDir)
+                }).where($"batch_id" < batchId).drop("batch_id"),
+                newBlocks.toDF(), "key").as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
               newEdges.unionByName(verified(noPairs.toDF(), fpsTable))
           })

@@ -63,6 +63,36 @@ private[streaming] object BatchMetrics {
   * other per-batch artifacts needed (they are each replay-idempotent on
   * their own).
   */
+/** Trickle-batch probe pruning: when a micro-batch touches few distinct
+  * block keys, append a semantically-REDUNDANT `key IN (...)` filter to the
+  * accumulated corpus-blocks read. The downstream equi-join on `key` already
+  * restricts the probe to exactly these keys, so the filter cannot change
+  * any result — it exists purely as an access-path hint. The blocks tables
+  * are bucketed AND sorted by `key` (`Tables.writeBatchBucketed`), so a
+  * literal IN-list lets Spark prune bucket FILES (SelectedBucketsCount —
+  * engaged whenever the plan keeps the bucketed scan, which the per-batch
+  * groupBy/join on `key` does; probed on 4.1.2) and parquet row groups
+  * (pushed In filter against sorted column stats), turning the per-batch
+  * probe from an O(accumulated-corpus) scan into an O(affected-buckets)
+  * read — the same affected-partitions discipline as `LabelCommit`,
+  * applied to the read side. Skipped beyond `maxKeys`
+  * distinct keys (the `limit(maxKeys + 1)` bounds the driver collect to a
+  * constant, keeping the no-unbounded-collect rule): a batch touching most
+  * buckets prunes nothing, and the exchange-free full scan is the better
+  * plan there anyway.
+  */
+private[streaming] object ProbePrune {
+  val MaxKeys = 1024
+
+  def apply(oldBlocks: DataFrame, batchBlocks: DataFrame, keyCol: String,
+      maxKeys: Int = MaxKeys): DataFrame = {
+    val ks = batchBlocks.select(keyCol).distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0))
+    if (ks.length > maxKeys) oldBlocks
+    else oldBlocks.where(col(keyCol).isin(ks.toIndexedSeq: _*))
+  }
+}
+
 private[streaming] object LabelCommit {
 
   /** Per-commit observability (also the hook the partition-pruning tests
@@ -366,15 +396,16 @@ object IncrementalLink {
           val scored = corpusRecs match {
             case None => scoredNew
             case Some(corpus) =>
-              val oldBlocks = (corpusTable match {
-                case Some(tn) =>
-                  // blocks bucketed on key: the per-batch linkPairs groupBy
-                  // and key-join read the corpus blocks pre-clustered
-                  spark.catalog.refreshTable(tn + "_blocks")
-                  spark.table(tn + "_blocks")
-                case None => spark.read.parquet(blocksDir)
-              }).where(col("batch_id") < batchId).drop("batch_id")
-                .as[ErPipeline.BlockRow]
+              val oldBlocks = ProbePrune(
+                (corpusTable match {
+                  case Some(tn) =>
+                    // blocks bucketed on key: the per-batch linkPairs groupBy
+                    // and key-join read the corpus blocks pre-clustered
+                    spark.catalog.refreshTable(tn + "_blocks")
+                    spark.table(tn + "_blocks")
+                  case None => spark.read.parquet(blocksDir)
+                }).where(col("batch_id") < batchId).drop("batch_id"),
+                newBlocks.toDF(), "key").as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
               scoredNew.unionByName(
                 ErPipeline.score(noPairs, newRecords, corpus, config))

@@ -15,12 +15,13 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every oracle has a query; only known rows-only queries lack oracles") {
+  test("every oracle has a query; every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // since round 5, NO rows-only queries remain: the last residual
+    // (q_pair_residual_sims) is oracled via loop-unrolled flat SQL
+    // (DuckSql.metaphoneCtes / lcsRemovalCtes)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the single residual: DP/FSM comparators DuckDB genuinely cannot express
-    // (weighted-levenshtein, LCS, metaphone, person-name) — golden-tested instead
-    assert(rowsOnly === Set("q_pair_residual_sims"),
+    assert(rowsOnly === Set.empty,
       s"unexpected rows-only queries: $rowsOnly")
   }
 
