@@ -222,7 +222,9 @@ object DuckSql {
     * recursive-CTE segfault entirely. Each step advances the cursor ≥ 1, so
     * `steps` ≥ the letter count of the longest input word makes the unroll
     * exact (30 covers this repo's 18-char fixture names with headroom; the
-    * chain no-ops once the cursor passes the end). Validated bit-exact
+    * chain no-ops once the cursor passes the end). A word longer than
+    * `steps` letters raises DuckDB `error()` in mp0 — the oracle fails
+    * loudly instead of silently truncating the code. Validated bit-exact
     * against the JVM kernel over a 7 086-word fuzz vocabulary (random
     * letters, digraph-heavy shapes, non-letter noise) in-session: 0
     * mismatches.
@@ -244,7 +246,10 @@ object DuckSql {
       |         WHEN substr(w,1,1)='W' AND substr(w,2,1)='H' THEN 'W'
       |         ELSE '' END AS o
       |  FROM (SELECT word, regexp_replace(upper(word), '[^A-Z]', '', 'g') AS w
-      |        FROM $wordsSql))""".stripMargin
+      |        FROM $wordsSql)
+      |  WHERE CASE WHEN length(w) > $steps
+      |             THEN error('metaphoneCtes: word exceeds unroll bound (steps=$steps)')
+      |             ELSE true END)""".stripMargin
     val chain = (1 to steps).map { k =>
       s"""mp$k AS (
         |  SELECT word, w, n,
@@ -269,10 +274,12 @@ object DuckSql {
     * remaining common substring via a LATERAL all-substrings probe (max
     * length, then the DP's scan-order tie-break: min end-in-a, then first
     * occurrence in b) and cuts it from both strings. Each removal takes ≥ 2
-    * chars from each side, so `steps` ≥ ⌈maxLen/2⌉ is exact (10 covers the
+    * chars from each side, so `steps` ≥ ⌊min(len)/2⌋ is exact (10 covers the
     * 18-char fixture names; exhausted rows no-op). The substring-enumeration
-    * bounds are CONSTANT series (1..30) filtered by the live lengths —
-    * DuckDB's generate_series cannot take lateral parameters. Validated
+    * bounds are CONSTANT series (1..maxLen) filtered by the live lengths —
+    * DuckDB's generate_series cannot take lateral parameters. Inputs
+    * exceeding either bound raise DuckDB `error()` in lcs0 (loud oracle
+    * failure, never a silently wrong similarity). Validated
     * bit-exact against the JVM kernel over the full sf0.01 pair set
     * in-session: 0 mismatches.
     *
@@ -290,12 +297,22 @@ object DuckSql {
       aExpr: String,
       bExpr: String,
       fromSql: String,
-      steps: Int = 10): (String, String, String) = {
+      steps: Int = 10,
+      maxLen: Int = 30): (String, String, String) = {
     val ks = keys.mkString(", ")
+    // Runtime guard against silent under-counting if the fixture ever grows
+    // past the unroll bounds: the probe enumerates substrings of `a` at
+    // start/length <= maxLen, and exactness needs steps >= floor(min(len)/2)
+    // removals (each removal takes >= 2 chars from BOTH sides). Out-of-bound
+    // inputs raise a DuckDB error() — a loud oracle failure, never a wrong
+    // similarity.
     val pre = s"""lcs0 AS (
-      |  SELECT $ks, $aExpr AS a0, $bExpr AS b0,
-      |         length($aExpr) + length($bExpr) AS tot, 0 AS c0
-      |  $fromSql)""".stripMargin
+      |  SELECT $ks, a0, b0, length(a0) + length(b0) AS tot, 0 AS c0
+      |  FROM (SELECT $ks, $aExpr AS a0, $bExpr AS b0 $fromSql)
+      |  WHERE CASE WHEN length(a0) > $maxLen
+      |               OR least(length(a0), length(b0)) > ${2 * steps + 1}
+      |             THEN error('lcsRemovalCtes: input exceeds unroll bounds (maxLen=$maxLen, steps=$steps)')
+      |             ELSE true END)""".stripMargin
     val chain = (1 to steps).map { k =>
       val (a, b, c) = (s"a${k - 1}", s"b${k - 1}", s"c${k - 1}")
       s"""lcs$k AS (
@@ -305,7 +322,7 @@ object DuckSql {
         |    $c + coalesce(t.L, 0) AS c$k
         |  FROM lcs${k - 1} LEFT JOIN LATERAL (
         |    SELECT g2.L AS L, g1.ia AS ia, strpos($b, substr($a, g1.ia, g2.L)) AS ib
-        |    FROM generate_series(1, 30) g1(ia), generate_series(2, 30) g2(L)
+        |    FROM generate_series(1, $maxLen) g1(ia), generate_series(2, $maxLen) g2(L)
         |    WHERE g1.ia + g2.L - 1 <= length($a)
         |      AND strpos($b, substr($a, g1.ia, g2.L)) > 0
         |    ORDER BY g2.L DESC, g1.ia ASC LIMIT 1

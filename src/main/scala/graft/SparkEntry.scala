@@ -766,7 +766,7 @@ object SparkEntry {
          |$lcsCtes
          |SELECT p.c_custkey, p.s_suppkey,
          |  ${microSql(person)} AS person_micro,
-         |  ${microSql(s"CASE WHEN tot = 0 THEN 0.0 ELSE 2.0 * $lcsCommon / tot END")} AS lcs_micro,
+         |  ${microSql(s"CASE WHEN p.c_name = p.s_name THEN 1.0 WHEN tot = 0 THEN 0.0 ELSE 2.0 * $lcsCommon / tot END")} AS lcs_micro,
          |  CASE WHEN mc.code = ms.code THEN 1000000 ELSE 0 END AS mp_eq_micro
          |FROM $lcsRel p
          |JOIN $mpRel mc ON mc.word = p.c_name

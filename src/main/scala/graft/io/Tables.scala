@@ -381,14 +381,15 @@ object Tables {
     }
   }
 
-  /** True iff `table` is usable after this call: already in the catalog, or
-    * its entry was just recreated from an existing on-disk
-    * [[writeBatchBucketed]] layout (committed `batch_id=<k>` dirs at
-    * `path`). False when neither exists — the caller owns first-write
-    * semantics. Streams call this both before READING the accumulated
-    * corpus and before writing, so a restart in a fresh JVM (fresh
-    * in-memory catalog) neither loses history nor scores against an
-    * "empty" corpus that is actually on disk. `bucketCol`/`nBuckets` must
+  /** True iff `table` is usable after this call: already in the catalog
+    * (with partition metadata re-synced against disk if a maintenance run in
+    * another JVM folded batch dirs underneath it), or its entry was just
+    * recreated from an existing on-disk [[writeBatchBucketed]] layout
+    * (committed `batch_id=<k>` dirs at `path`). False when neither exists —
+    * the caller owns first-write semantics. Streams call this both before
+    * READING the accumulated corpus and before writing, so a restart in a
+    * fresh JVM (fresh in-memory catalog) neither loses history nor scores
+    * against an "empty" corpus that is actually on disk. `bucketCol`/`nBuckets` must
     * match the original writer's spec — Spark trusts the recreated bucket
     * DDL against the existing file layout, so a mismatch silently breaks
     * the exchange-free join guarantee (callers pass the same constants the
@@ -401,14 +402,33 @@ object Tables {
       bucketCol: String,
       nBuckets: Int): Boolean = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-    if (spark.catalog.tableExists(table)) true
-    else {
-      val p = new HPath(path)
-      val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
-      val leaves =
-        if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(p).filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
+    def diskParts() =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (spark.catalog.tableExists(table)) {
+      // The catalog entry can be STALE, not just missing: a maintenance run
+      // in a DIFFERENT JVM (spark-submit MaintenanceJob compact-corpus while
+      // this driver idles between stream restarts) folds batch_id dirs on
+      // disk, and this JVM's in-memory catalog still lists the folded
+      // partitions and not batch_id=-1 — reads would resolve deleted dirs
+      // (FileNotFound, or silently-empty corpus under ignoreMissingFiles).
+      // Reconcile per call: the catalog side is an in-memory lookup and the
+      // disk side one listStatus of the table root (O(live partitions),
+      // bounded small by that same compaction), so the per-micro-batch cost
+      // is noise next to the checkpoint commit.
+      val cat = spark.sql(s"SHOW PARTITIONS $table")
+        .collect().map(_.getString(0)).toSet
+      val disk = diskParts().map(_.getPath.getName).toSet
+      if (cat != disk) {
+        spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+        spark.catalog.refreshTable(table)
+      }
+      true
+    } else {
+      val leaves = diskParts()
       if (leaves.isEmpty) false
       else {
         // schema from a leaf dir's files — the raw data carries everything

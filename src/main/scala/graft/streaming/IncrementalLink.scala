@@ -42,27 +42,6 @@ private[streaming] object BatchMetrics {
   }
 }
 
-/** Per-micro-batch incremental cluster-label maintenance, shared by
-  * `IncrementalLink.linkStream` (match-edge clusters) and
-  * `IncrementalDedup.nearDupStream` (near-dup clusters): fold one batch's
-  * edges into the standing (doc_id, cluster_id) labeling via
-  * `Cluster.mergeDelta` and commit through a dual-layout [[graft.io.LabelStore]]
-  * — cluster-partitioned for the write (O(affected clusters), never
-  * O(corpus); VERDICT r3 #2), doc-partitioned for the per-batch lookups
-  * (VERDICT r4 #2: both the endpoint-label lookup and the new-doc existence
-  * check previously scanned the FULL label table per batch; they now share
-  * ONE read pruned to the batch's doc partitions). Every batch lands as an
-  * atomic, time-travelable snapshot covering both layouts. Labels stay equal
-  * to a full CC over all edges so far, with edge-free docs as their own
-  * singleton clusters.
-  *
-  * Replay safety (foreachBatch is at-least-once): both layouts commit under
-  * one manifest pointer, so a replayed committed batch reads post-batch
-  * labels, derives an empty delta (endpoints already merged, new docs
-  * already present), and writes nothing — no ordering argument against the
-  * other per-batch artifacts needed (they are each replay-idempotent on
-  * their own).
-  */
 /** Trickle-batch probe pruning: when a micro-batch touches few distinct
   * block keys, append a semantically-REDUNDANT `key IN (...)` filter to the
   * accumulated corpus-blocks read. The downstream equi-join on `key` already
@@ -93,6 +72,28 @@ private[streaming] object ProbePrune {
   }
 }
 
+
+/** Per-micro-batch incremental cluster-label maintenance, shared by
+  * `IncrementalLink.linkStream` (match-edge clusters) and
+  * `IncrementalDedup.nearDupStream` (near-dup clusters): fold one batch's
+  * edges into the standing (doc_id, cluster_id) labeling via
+  * `Cluster.mergeDelta` and commit through a dual-layout [[graft.io.LabelStore]]
+  * — cluster-partitioned for the write (O(affected clusters), never
+  * O(corpus); VERDICT r3 #2), doc-partitioned for the per-batch lookups
+  * (VERDICT r4 #2: both the endpoint-label lookup and the new-doc existence
+  * check previously scanned the FULL label table per batch; they now share
+  * ONE read pruned to the batch's doc partitions). Every batch lands as an
+  * atomic, time-travelable snapshot covering both layouts. Labels stay equal
+  * to a full CC over all edges so far, with edge-free docs as their own
+  * singleton clusters.
+  *
+  * Replay safety (foreachBatch is at-least-once): both layouts commit under
+  * one manifest pointer, so a replayed committed batch reads post-batch
+  * labels, derives an empty delta (endpoints already merged, new docs
+  * already present), and writes nothing — no ordering argument against the
+  * other per-batch artifacts needed (they are each replay-idempotent on
+  * their own).
+  */
 private[streaming] object LabelCommit {
 
   /** Per-commit observability (also the hook the partition-pruning tests

@@ -233,6 +233,50 @@ class StreamRecoverySpec extends SparkSpec {
     }
   }
 
+  test("cross-JVM compaction under a live catalog entry is reconciled, not read stale") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-rec4").toString + "/t"
+    val t = "graft_rec4_t"
+    try {
+      graft.io.Tables.writeBatchBucketed(
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v"), t, path, "doc_id", 8, 0L)
+      graft.io.Tables.writeBatchBucketed(
+        Seq((3L, "c")).toDF("doc_id", "v"), t, path, "doc_id", 8, 1L)
+      graft.io.Tables.writeBatchBucketed(
+        Seq((4L, "d")).toDF("doc_id", "v"), t, path, "doc_id", 8, 2L)
+
+      // simulate `MaintenanceJob compact-corpus` running in a DIFFERENT JVM
+      // while this driver idles between stream restarts: the keep-newest
+      // fold lands purely ON DISK (batches 0+1 -> batch_id=-1, their dirs
+      // deleted) and THIS JVM's in-memory catalog keeps the stale partition
+      // list {0,1,2}. File moves replicate the fold's directory outcome;
+      // bucket-tagged file names are unique per write, so plain moves are
+      // collision-free and the bucket scan still groups them by tag.
+      val root = new java.io.File(path)
+      val fold = new java.io.File(root, "batch_id=-1"); fold.mkdirs()
+      for (b <- Seq(0, 1)) {
+        val d = new java.io.File(root, s"batch_id=$b")
+        d.listFiles().foreach { f =>
+          if (f.getName.endsWith(".parquet"))
+            Files.move(f.toPath, new java.io.File(fold, f.getName).toPath)
+          else f.delete()
+        }
+        assert(d.delete(), s"could not remove $d")
+      }
+
+      // the per-batch gate must re-sync partition metadata with disk; the
+      // accumulated-corpus read (batch_id < current) must then see the full
+      // folded history instead of resolving deleted dirs
+      assert(graft.io.Tables.ensureBatchTable(spark, t, path, "doc_id", 8))
+      val all = spark.table(t).where(col("batch_id") < 3L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(all === Set(1L, 2L, 3L, 4L), s"stale catalog hid the corpus: $all")
+      val parts = spark.sql(s"SHOW PARTITIONS $t")
+        .collect().map(_.getString(0)).toSet
+      assert(parts === Set("batch_id=-1", "batch_id=2"), parts)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("catalog loss (fresh-JVM restart) neither destroys nor hides the corpus") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-rec3").toString + "/t"
