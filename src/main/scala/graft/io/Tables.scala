@@ -115,12 +115,6 @@ object SnapshotMaintenance {
       if (!Files.exists(rootP.resolve(s"snapshots/v$k.json"))) Seq.empty
       else SnapshotIo.dirs(rootP, k)
     val retained = (cutoff to current).flatMap(dirsOf).toSet
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close() // walk holds directory handles until closed
-    }
     // expire [OLDEST, cutoff): the low-water mark bounds per-call work to
     // O(newly expired) instead of rescanning every snapshot id since 1 on
     // each per-batch call — and unlike a stop-at-first-gap walk, a crash
@@ -130,7 +124,7 @@ object SnapshotMaintenance {
     val oldest =
       if (Files.exists(oldestP)) Files.readString(oldestP).trim.toLong else 1L
     for (k <- oldest until cutoff) {
-      dirsOf(k).filterNot(retained).foreach(d => deleteTree(rootP.resolve(d)))
+      dirsOf(k).filterNot(retained).foreach(d => LocalFs.deleteTree(rootP.resolve(d)))
       Files.deleteIfExists(rootP.resolve(s"snapshots/v$k.json"))
     }
     if (cutoff > oldest) Files.writeString(oldestP, cutoff.toString)
@@ -352,7 +346,11 @@ object Tables {
     import org.apache.spark.sql.functions.lit
     val spark = df.sparkSession
     val withB = df.withColumn("batch_id", lit(batchId))
-    if (!ensureBatchTable(spark, table, path, bucketCol, nBuckets)) {
+    // reconcile=false: the stream's read gate already reconciled this table
+    // earlier in the same micro-batch, and a dynamic-overwrite insert only
+    // touches its own new partition — stale sibling metadata cannot corrupt
+    // it, so the write path skips the SHOW PARTITIONS + listStatus pair
+    if (!ensureBatchTable(spark, table, path, bucketCol, nBuckets, reconcile = false)) {
       import org.apache.hadoop.fs.{FileSystem, Path => HPath}
       val fs = FileSystem.get(new java.net.URI(path), spark.sessionState.newHadoopConf())
       // first write: the only thing we may clear is our own crashed first
@@ -382,9 +380,11 @@ object Tables {
   }
 
   /** True iff `table` is usable after this call: already in the catalog
-    * (with partition metadata re-synced against disk if a maintenance run in
-    * another JVM folded batch dirs underneath it), or its entry was just
-    * recreated from an existing on-disk [[writeBatchBucketed]] layout
+    * (with partition metadata re-synced against disk when `reconcile` and a
+    * maintenance run in another JVM folded batch dirs underneath it —
+    * partition LOSS without the fold's `batch_id=-1` marker is refused
+    * loudly rather than adopted), or its entry was just recreated from an
+    * existing on-disk [[writeBatchBucketed]] layout
     * (committed `batch_id=<k>` dirs at `path`). False when neither exists —
     * the caller owns first-write semantics. Streams call this both before
     * READING the accumulated corpus and before writing, so a restart in a
@@ -400,7 +400,8 @@ object Tables {
       table: String,
       path: String,
       bucketCol: String,
-      nBuckets: Int): Boolean = {
+      nBuckets: Int,
+      reconcile: Boolean = true): Boolean = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     val p = new HPath(path)
     val fs = FileSystem.get(p.toUri, spark.sessionState.newHadoopConf())
@@ -415,16 +416,33 @@ object Tables {
       // disk, and this JVM's in-memory catalog still lists the folded
       // partitions and not batch_id=-1 — reads would resolve deleted dirs
       // (FileNotFound, or silently-empty corpus under ignoreMissingFiles).
-      // Reconcile per call: the catalog side is an in-memory lookup and the
-      // disk side one listStatus of the table root (O(live partitions),
-      // bounded small by that same compaction), so the per-micro-batch cost
-      // is noise next to the checkpoint commit.
-      val cat = spark.sql(s"SHOW PARTITIONS $table")
-        .collect().map(_.getString(0)).toSet
-      val disk = diskParts().map(_.getPath.getName).toSet
-      if (cat != disk) {
-        spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
-        spark.catalog.refreshTable(table)
+      // Reconcile on the READ gate only (the write path passes
+      // reconcile=false — it touches only its own new partition): catalog
+      // side is an in-memory lookup, disk side one listStatus of the table
+      // root (O(live partitions), bounded by compaction cadence — the read
+      // itself relists the same dirs anyway).
+      if (reconcile) {
+        val cat = spark.sql(s"SHOW PARTITIONS $table")
+          .collect().map(_.getString(0)).toSet
+        val disk = diskParts().map(_.getPath.getName).toSet
+        if (cat != disk) {
+          // Partition REMOVALS are legitimate only as the outcome of a
+          // keep-newest compaction fold, which always leaves the
+          // batch_id=-1 fold partition behind. Anything else — a mid-swap
+          // race with a compaction that should not be running concurrently,
+          // an external deletion, a partial wipe — must stay FAIL-STOP:
+          // syncing the catalog to a damaged dir would let this batch score
+          // against a silently truncated corpus and commit wrong edges,
+          // where a stale entry at worst crashes the batch and retries.
+          val removed = cat -- disk
+          require(removed.isEmpty || disk.contains("batch_id=-1"),
+            s"ensureBatchTable: $path lost partitions " +
+              s"(${removed.take(3).mkString(", ")}…) without a compaction " +
+              "fold (batch_id=-1 absent) — refusing to adopt the damaged " +
+              "layout; restore the directory or finish/rerun compaction")
+          spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
+          spark.catalog.refreshTable(table)
+        }
       }
       true
     } else {

@@ -1,7 +1,6 @@
 package graft.jobs
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -25,10 +24,12 @@ import graft.streaming.IncrementalLink
   * point is to quantify that floor honestly, not to hide it.
   *
   * Protocol:
-  *   1. `prepare <dir> <nDocs> <nBatches>`: fixture docs split into
-  *      `nBatches` single-file parquet drops under `<dir>/in`, written in
-  *      batch order (the file stream's `maxFilesPerTrigger=1` then replays
-  *      the same batch sequence every run).
+  *   1. `prepare <dir> <nEntities> <nBatches>`: the fixture generator's
+  *      docs for `nEntities` entities (~2–3 records per entity, same as
+  *      ScalingBench's knob) split into `nBatches` single-file parquet
+  *      drops under `<dir>/in`, written in batch order (the file stream's
+  *      `maxFilesPerTrigger=1` then replays the same batch sequence every
+  *      run).
   *   2. `run <dir> [reps]` with SPARK_GRAFT_CPUS=N: for each rep, a FRESH
   *      corpus/edges/labels/checkpoint tree, stream all batches, wall =
   *      start-to-drained. Prints min wall, docs/sec, and the decision
@@ -54,10 +55,10 @@ object StreamScale {
 
     mode match {
       case "prepare" =>
-        val nDocs = args.lift(2).map(_.toInt).getOrElse(40000)
+        val nEntities = args.lift(2).map(_.toInt).getOrElse(40000)
         val nBatches = args.lift(3).map(_.toInt).getOrElse(8)
         val gen = Fixtures.GenConfig(hotKeyFraction = 0.001, surnameSpace = 30000)
-        val docs = Fixtures.docs(spark, nDocs.toLong, gen).collect()
+        val docs = Fixtures.docs(spark, nEntities.toLong, gen).collect()
         val inDir = Paths.get(dir, "in")
         deleteTree(inDir)
         Files.createDirectories(inDir)
@@ -122,10 +123,5 @@ object StreamScale {
     spark.stop()
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+  private def deleteTree(p: Path): Unit = graft.io.LocalFs.deleteTree(p)
 }
