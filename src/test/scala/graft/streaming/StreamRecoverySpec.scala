@@ -274,6 +274,15 @@ class StreamRecoverySpec extends SparkSpec {
       val parts = spark.sql(s"SHOW PARTITIONS $t")
         .collect().map(_.getString(0)).toSet
       assert(parts === Set("batch_id=-1", "batch_id=2"), parts)
+
+      // partition loss WITHOUT the fold marker (here: the -1 dir itself
+      // vanishes — a partial wipe, not a compaction outcome) must FAIL-STOP,
+      // not be adopted: adopting would silently truncate the corpus
+      graft.io.LocalFs.deleteTree(java.nio.file.Paths.get(path, "batch_id=-1"))
+      val refused = intercept[IllegalArgumentException] {
+        graft.io.Tables.ensureBatchTable(spark, t, path, "doc_id", 8)
+      }
+      assert(refused.getMessage.contains("without a compaction fold"), refused.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
