@@ -36,8 +36,18 @@ object SparkEntry {
   private[graft] def cosMicro(qv: String, cv: String, qn: String, cn: String): Column =
     floor(vec_dot(col(qv), col(cv)) / (col(qn) * col(cn)) * lit(1e6) + lit(0.5)).cast("long")
 
+  /** Table reads memoized per (session, path): bench/verify construct every
+    * query fresh each rep, and an unmemoized `read.parquet` re-lists the
+    * directory and re-infers the schema (a footer-read job) on every
+    * construction — pure metadata overhead that a catalog table would cache
+    * (guide §6 "file listing"). Only PLAN metadata (file index + schema) is
+    * reused; every action still scans the parquet files — no data or results
+    * are cached.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent((s, s"$dir/$name.parquet"), k => s.read.parquet(k._2))
 
   // deterministic order for nickname planting + the oracle CASE chain (C6)
   private val nickKeys: Seq[String] = graft.core.Cleaners.nicknames.keys.toSeq.sorted
@@ -167,14 +177,23 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rk").cast("long").as("rk"))
     }),
     "q_best_match" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      // argmax restated as ONE partial-aggregatable max_by (optimization r6,
+      // guide §2.3 "aggregate before you shuffle"): the old rk=1 window
+      // sorted and shuffled the full scored pair set to keep one row per
+      // customer; max_by reduces map-side, shuffling |customers| rows. Rows
+      // are identical — highest jw_micro, smallest suppkey on ties (the
+      // ordering struct is unique per row, so the argmax is deterministic);
+      // oracle unchanged.
       val jw = micro(sim_jaro_winkler(col("c_name"), col("s_name")))
-      val w = Window.partitionBy(col("c_custkey")).orderBy(col("jw_micro").desc, col("s_suppkey"))
       pairSet(s, dir)
         .select(col("c_custkey"), col("s_suppkey"), jw.as("jw_micro"))
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("c_custkey"), col("s_suppkey"), col("jw_micro"))
+        .groupBy(col("c_custkey"))
+        .agg(max_by(
+          struct(col("s_suppkey"), col("jw_micro")),
+          struct(col("jw_micro"), (-col("s_suppkey")).as("neg"))).as("best"))
+        .select(col("c_custkey"),
+          col("best.s_suppkey").as("s_suppkey"),
+          col("best.jw_micro").as("jw_micro"))
     }),
     "q_window_running" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -209,20 +228,23 @@ object SparkEntry {
     // ---------------- connected components (G8, §2.7) ----------------
     "q_cc_order_chains" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // chain consecutive orders of each customer -> components = customers
+      // chain consecutive orders of each customer -> components = customers.
+      // Edges via lag() instead of the old rank self-join (optimization r6,
+      // guide §2.4 "remove shuffles outright"): the self-join shape cost a
+      // window shuffle + a (custkey, rn) join shuffle of BOTH sides + an
+      // explicit repartition back to the component key — three exchanges and
+      // two sort-merge joins to pair each order with its successor, which
+      // lag() produces inside the one window sort. Same edge set, and the
+      // output is ALREADY custkey-partitioned, so every chain stays
+      // partition-local for CC's union-find pre-contraction and the star
+      // loop converges in one iteration (the query KNOWS its component key —
+      // generic CC cannot).
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
-      val ranked = t(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
-      val a = ranked.select(col("o_custkey"), col("o_orderkey").as("a"), col("rn"))
-      val b = ranked.select(col("o_custkey"), col("o_orderkey").as("b"), (col("rn") - 1).as("rn"))
-      // co-locate each chain before CC: the join partitions by (custkey, rn),
-      // scattering one customer's chain edges across partitions, where the
-      // partition-local union-find pre-contraction cannot collapse them; one
-      // repartition on the blocking key turns every chain into a single-pass
-      // local star and the global star loop converges immediately (the
-      // query KNOWS its component key — generic CC cannot)
-      val edges = a.join(b, Seq("o_custkey", "rn"))
-        .repartition(col("o_custkey")).select(col("a"), col("b"))
+      val edges = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("a", lag(col("o_orderkey"), 1).over(w))
+        .where(col("a").isNotNull)
+        .select(col("a"), col("o_orderkey").as("b"))
       Cluster.connectedComponents(edges)
         .select(col("doc_id").as("o_orderkey"), col("cluster_id"))
     }),
@@ -383,11 +405,21 @@ object SparkEntry {
         clean("person-name", raw).as("person_norm"))
     }),
     "q_set_ops" -> ((s, dir) => {
-      val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
-      val all = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
-      val nonBuyers = all.exceptAll(buyers)
-      all.intersect(buyers).withColumn("kind", lit("buyer"))
-        .unionByName(nonBuyers.withColumn("kind", lit("non_buyer")))
+      // one scan of customer + one aggregated scan of orders (optimization
+      // r6, guide §2.4 "remove shuffles outright"): the old
+      // intersect/exceptAll pair compiled to two extra full-customer
+      // aggregates, a replicate-rows Generate and four exchanges. c_custkey
+      // is unique in customer (the oracle's IN/NOT IN restatement already
+      // relies on it), so a left join against the distinct buyer set labels
+      // every row in a single pass with the identical row multiset; the join
+      // strategy is left to the planner/AQE — the buyer set is corpus-sized
+      // at scale, so no broadcast hint.
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .distinct().withColumn("__buyer", lit(1))
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .join(buyers, Seq("custkey"), "left")
+        .select(col("custkey"),
+          when(col("__buyer").isNotNull, "buyer").otherwise("non_buyer").as("kind"))
     }),
 
     // ---------------- phonetic comparators, fully oracled (K10, K11-norphone) ----------------
@@ -807,8 +839,12 @@ object SparkEntry {
       val bandExprs = (0 until nBands).map(j => s"${minhashBandSpark(j)} AS band$j")
       // materialize signatures ONCE: bands (self-joined, 2 scans) + two fps
       // joins would otherwise re-run the per-character rolling-hash transform
-      // up to 4× per document — at 100 TB that is 4 full corpus passes
-      val sigs = graft.io.Persist.truncate(shingleFps(docs)
+      // up to 4× per document — at 100 TB that is 4 full corpus passes.
+      // LAZY pin (optimization r6): the BandedPairs contraction pin is the
+      // first consumer and scans sigs exactly once, so the signatures
+      // materialize inside that job — the old eager pin was a whole extra
+      // sequential job computing the same thing.
+      val sigs = graft.io.Persist.pinLazy(shingleFps(docs)
         .selectExpr(Seq("doc_id", "fps") ++ bandExprs: _*))
       val fps = sigs.select(col("doc_id"), col("fps"))
       graft.pipeline.BandedPairs.verifiedPairs(
@@ -858,8 +894,9 @@ object SparkEntry {
       * bucket-bounded, never all-pairs); verify = exact hamming ≤ 3.
       */
     "q_simhash_near_dup" -> ((s, dir) => {
-      // one simhash pass; bands + verify reuse it
-      val codes = graft.io.Persist.truncate(shingleFps(t(s, dir, "documents"))
+      // one simhash pass; bands + verify reuse it (lazy pin — materialized
+      // by the contraction pin's job, see q_lsh_near_dup_pairs)
+      val codes = graft.io.Persist.pinLazy(shingleFps(t(s, dir, "documents"))
         .select(col("doc_id"), simhash64(col("fps")).as("code"))
         .select(col("doc_id"),
           col("code").getItem(0).as("sl"), col("code").getItem(1).as("sh")))
@@ -965,10 +1002,21 @@ object SparkEntry {
       val affinities = e.join(broadcast(cents))
         .withColumn("cos_micro", cosMicro("embedding", "cv", "nrm", "cn"))
         .select(col("vec_id"), col("cent_id"), col("cos_micro"))
+      // assignment argmax as a partial-aggregatable max_by instead of a
+      // rk=1 window over ALL affinities (optimization r6, guide §2.3): the
+      // window sorted+shuffled |corpus|·K rows; max_by reduces map-side to
+      // |corpus| rows. The probe ranking still needs a window (top
+      // `ivfProbes` per query), but only over the 8 query vectors' K
+      // affinities after pushdown — not the whole corpus. Identical rows:
+      // max (cos desc, cent_id asc) is the crk=1 ordering.
       val aw = Window.partitionBy(col("vec_id")).orderBy(col("cos_micro").desc, col("cent_id"))
-      val ranked = affinities.withColumn("crk", row_number().over(aw))
-      val lists = ranked.where(col("crk") === 1).select(col("vec_id").as("cid"), col("cent_id"))
-      val probes = ranked.where(col("vec_id") < 8 && col("crk") <= config.ivfProbes)
+      val lists = affinities.groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"),
+          struct(col("cos_micro"), (-col("cent_id")).as("neg"))).as("cent_id"))
+        .select(col("vec_id").as("cid"), col("cent_id"))
+      val probes = affinities.where(col("vec_id") < 8)
+        .withColumn("crk", row_number().over(aw))
+        .where(col("crk") <= config.ivfProbes)
         .select(col("vec_id").as("qid"), col("cent_id"))
       val cand = probes.join(lists, "cent_id")
         .where(col("qid") =!= col("cid"))
@@ -987,7 +1035,9 @@ object SparkEntry {
       * candidate space; verify with exact cosine >= 0.30 within buckets (the synthetic embeddings plant no true dups; 0.30 is the top-1% tail, demonstrating the operator shape).
       */
     "q_embed_near_dup" -> ((s, dir) => {
-      val e = graft.io.Persist.truncate(t(s, dir, "embeddings")
+      // lazy pin — materialized by the contraction pin's job (see
+      // q_lsh_near_dup_pairs)
+      val e = graft.io.Persist.pinLazy(t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           sign_lsh_bucket(col("embedding"), 0, config.nearDupPlanes).as("bucket"),
           vec_norm(col("embedding")).as("nrm")))
@@ -1010,7 +1060,10 @@ object SparkEntry {
         // the same null-preserving discipline as bandVectorKey
         key = md5(array_join(col("embedding").cast("array<string>"), ",", "null")),
         selfSims = Seq(lit(1000000L).as("cos_micro")),
-        cfg = config.pairCfg) { reps =>
+        cfg = config.pairCfg,
+        // bands = array(bucket): single-band scheme, rep pairs are already
+        // distinct — skip the dedup shuffle (BandedPairs.verifiedPairs)
+        singleBand = true) { reps =>
         reps
           .join(e.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na")), "a_id")
           .join(e.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb")), "b_id")

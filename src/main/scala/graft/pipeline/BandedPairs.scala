@@ -123,13 +123,20 @@ object BandedPairs {
     * to within-group pairs, which are duplicates by construction and never
     * re-verified.
     */
+  /** `singleBand = true` (optimization r6, guide §2.4): a single-band scheme
+    * generates each rep pair in exactly one (band, bucket, salt-cell) — the
+    * triangular join already emits distinct pairs, so the rep-pair
+    * `.distinct()` shuffle is provably a no-op and is skipped. Only safe when
+    * every `bands` array has length 1.
+    */
   def verifiedPairs(
       items: DataFrame,
       key: Column,
       selfSims: Seq[Column],
-      cfg: ErPipeline.PairConfig = ErPipeline.PairConfig())(
+      cfg: ErPipeline.PairConfig = ErPipeline.PairConfig(),
+      singleBand: Boolean = false)(
       verify: DataFrame => DataFrame): DataFrame = {
-    val c = contract(items, key, cfg)
+    val c = contract(items, key, cfg, singleBand)
     c.intra.select(Seq(col("a_id"), col("b_id")) ++ selfSims: _*)
       .unionByName(expand(verify(c.repPairs), c.members))
   }
@@ -163,7 +170,8 @@ object BandedPairs {
   private def contract(
       items: DataFrame,
       key: Column,
-      cfg: ErPipeline.PairConfig): Contracted = {
+      cfg: ErPipeline.PairConfig,
+      singleBand: Boolean = false): Contracted = {
     val spark = items.sparkSession
     import spark.implicits._
 
@@ -194,8 +202,10 @@ object BandedPairs {
       .withColumnRenamed("pos", "bix").withColumnRenamed("col", "bval")
     val sizedBands = repBands.withColumn(
       "n", count(lit(1)).over(Window.partitionBy($"bix", $"bval")))
-    val repPairs = triangular(sizedBands, Seq("bix", "bval"), cfg)
-      .distinct() // a rep pair sharing several bands must expand once
+    val repPairs0 = triangular(sizedBands, Seq("bix", "bval"), cfg)
+    // a rep pair sharing several bands must expand once; with ONE band the
+    // triangular join is already duplicate-free (see `verifiedPairs`)
+    val repPairs = if (singleBand) repPairs0 else repPairs0.distinct()
 
     // skew report (lazy): dropped blocks + their pair mass + salted counts,
     // for the contraction groups and the band buckets respectively. Cross

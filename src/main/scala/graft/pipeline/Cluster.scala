@@ -40,33 +40,56 @@ object Cluster {
   /** Result: (doc_id, cluster_id) for every node that appears in `edges`;
     * callers union in singletons (docs with no edge) with cluster_id = doc_id.
     */
+  /** Default per-iteration pin is LAZY (optimization r6, guide §1.2): the
+    * convergence signature right after it is the first action, so one job
+    * both materializes the iteration's edges and probes the fixed point —
+    * the old eager checkpoint ran a separate materialization job per
+    * iteration (and one more upfront) that computed nothing the signature
+    * job would not. Callers that stage iterations to durable storage
+    * (LinkJob resume) keep passing their own eager `onIteration`.
+    */
   def connectedComponents(
       edges0: DataFrame,
       maxIter: Int = 50,
-      onIteration: (Int, DataFrame) => DataFrame = (_, df) => truncate(df),
+      onIteration: (Int, DataFrame) => DataFrame = (_, df) => graft.io.Persist.pinLazy(df),
       preContract: Boolean = true): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
+    // normalization is NARROW (optimization r6, guide §2.4): the old upfront
+    // `.distinct()` hash-shuffled the edges by (a, b), destroying any
+    // co-location the caller established (e.g. q_cc_order_chains repartitions
+    // by its component key so every chain is partition-local) right before
+    // the partition-local contraction that depends on it. Union-find is
+    // idempotent under duplicate edges, so the pre-contraction path needs no
+    // dedup at all — its output is a per-partition star forest; the
+    // no-contraction path keeps the distinct (it feeds the star loop raw).
     val normalized = edges0.select(
       least(col(edges0.columns(0)), col(edges0.columns(1))).as("a"),
       greatest(col(edges0.columns(0)), col(edges0.columns(1))).as("b"))
-      .where($"a" =!= $"b").distinct()
+      .where($"a" =!= $"b")
 
-    var edges = truncate(
-      if (preContract) localContract(normalized) else normalized)
+    var edges = graft.io.Persist.pinLazy(
+      if (preContract) localContract(normalized) else normalized.distinct())
 
     var converged = false
     var iter = 0
-    var sig = signature(edges)
+    var sig = signature(edges) // materializes the lazy pin in the same job
     while (!converged && iter < maxIter) {
       iter += 1
-      val ls = truncate(largeStar(edges))
+      // large-star output is CACHED lazily, not eagerly checkpointed
+      // (optimization r6, guide §5 "caching"): small-star scans it three
+      // times within ONE materializing job — the first scan populates the
+      // blocks, the other two read them — so the extra eager job per
+      // iteration bought nothing. Lineage stays bounded: `edges` itself is
+      // truncated every iteration below.
+      val ls = largeStar(edges).persist()
       val ss = smallStar(ls)
       // truncate lineage every iteration (iterative joins grow the plan
       // exponentially otherwise — SURVEY.md §4 "CC lineage explosion")
       edges = onIteration(iter, ss)
       val s2 = signature(edges)
+      ls.unpersist(false)
       converged = s2 == sig
       sig = s2
     }

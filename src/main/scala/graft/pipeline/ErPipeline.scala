@@ -172,21 +172,31 @@ object ErPipeline {
     // broadcast exchanges below all read the checkpointed tail instead of
     // each re-running the full groupBy over the blocks table (4 corpus-scale
     // aggregations -> 1).
-    val skewTail = graft.io.Persist.truncate(
+    // LAZY pin (optimization r6): the fused stats collect right below is the
+    // first consumer and materializes the tail inside its own job; the two
+    // broadcast builds then read the pinned blocks — the old eager pin spent
+    // a dedicated job on the same computation.
+    val skewTail = graft.io.Persist.pinLazy(
       blocks.groupBy($"key").agg(count("*").as("n"))
         .filter($"n" > cfg.saltThreshold))
-    val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
-      .agg(count("*").as("blocks"),
-        coalesce(sum(($"n" * ($"n" - 1) / 2).cast("double")), lit(0.0)).as("mass"))
+    // ONE driver action for the whole skew report (optimization r6, guide
+    // §1.2/§5 "the driver"): dropped-block stats and the salted count were
+    // two sequential jobs over the pinned tail; a single conditional
+    // aggregate reads it once.
+    val st = skewTail.agg(
+      count(when($"n" > cfg.maxBlockSize, 1)).as("blocks"),
+      coalesce(sum(when($"n" > cfg.maxBlockSize, ($"n" * ($"n" - 1) / 2).cast("double"))),
+        lit(0.0)).as("mass"),
+      count(when($"n" <= cfg.maxBlockSize, 1)).as("salted"))
       .collect()(0)
-    val stats0 = (dropped.getLong(0), dropped.getDouble(1))
+    val stats0 = (st.getLong(0), st.getDouble(1))
 
     val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
       .select($"key", lit(true).as("__drop"))
     val hotKeys = skewTail
       .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
       .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
-    val nSalted = hotKeys.count()
+    val nSalted = st.getLong(2)
 
     val withSalt = blocks
       .join(broadcast(dropKeys), Seq("key"), "left")
@@ -237,14 +247,19 @@ object ErPipeline {
     // heavy tail only, as in `pairs` (broadcast never scales with distinct
     // keys); the tail is materialized ONCE so stats collect, salted count and
     // both broadcasts don't each re-run the two corpus-scale groupBys
-    val skewTail = graft.io.Persist.truncate(
+    // lazy pin, materialized by the fused stats collect — see `pairs` above
+    val skewTail = graft.io.Persist.pinLazy(
       blocksA.groupBy($"key").agg(count("*").as("na"))
         .join(blocksB.groupBy($"key").agg(count("*").as("nb")), "key")
         .withColumn("n", greatest($"na", $"nb"))
         .filter($"n" > cfg.saltThreshold))
-    val dropped = skewTail.filter($"n" > cfg.maxBlockSize)
-      .agg(count("*").as("blocks"),
-        coalesce(sum(($"na" * $"nb").cast("double")), lit(0.0)).as("mass"))
+    // ONE driver action for the whole skew report (optimization r6) — see
+    // `pairs` above.
+    val st = skewTail.agg(
+      count(when($"n" > cfg.maxBlockSize, 1)).as("blocks"),
+      coalesce(sum(when($"n" > cfg.maxBlockSize, ($"na" * $"nb").cast("double"))),
+        lit(0.0)).as("mass"),
+      count(when($"n" <= cfg.maxBlockSize, 1)).as("salted"))
       .collect()(0)
 
     val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
@@ -254,7 +269,7 @@ object ErPipeline {
       .select($"key",
         ceil($"na" / cfg.saltThreshold).cast("int").as("sa"),
         ceil($"nb" / cfg.saltThreshold).cast("int").as("sb"))
-    val nSalted = hotKeys.count()
+    val nSalted = st.getLong(2)
 
     def salted(blocks: Dataset[BlockRow]) = blocks
       .join(broadcast(dropKeys), Seq("key"), "left")
@@ -274,7 +289,7 @@ object ErPipeline {
     val pairs = a.join(b, Seq("key", "i", "j"))
       .groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
       .as[PairIds]
-    (pairs, PairStats(dropped.getLong(0), dropped.getDouble(1), nSalted))
+    (pairs, PairStats(st.getLong(0), st.getDouble(1), nSalted))
   }
 
   // ------------------------------------------------------------------ scoring
