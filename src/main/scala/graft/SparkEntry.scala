@@ -350,7 +350,10 @@ object SparkEntry {
       val b = t(s, dir, "supplier").select(
         col("s_suppkey").cast("string").as("doc_id"),
         concat(lit("k"), col("s_nationkey")).as("key")).as[BlockRow]
-      val (pairs, _) = ErPipeline.linkPairs(a, b)
+      // uniqueKeys: the single nationkey keyer emits exactly one blocking
+      // key per doc, so pairs are distinct by construction and the cross-key
+      // dedup aggregate is skipped (ErPipeline.linkPairs, optimization r6)
+      val (pairs, _) = ErPipeline.linkPairs(a, b, uniqueKeys = true)
       pairs.toDF().select(
         col("a_id").cast("long").as("a_id"),
         col("b_id").cast("long").as("b_id"),
@@ -1018,9 +1021,13 @@ object SparkEntry {
         .withColumn("crk", row_number().over(aw))
         .where(col("crk") <= config.ivfProbes)
         .select(col("vec_id").as("qid"), col("cent_id"))
+      // no distinct (optimization r6, guide §2.4 "a distinct on data that is
+      // already unique"): every cid sits in exactly ONE inverted list (crk=1
+      // argmax) and a query's probes are distinct cent_ids (row_number), so
+      // each (qid, cid) arises at most once from the probe join
       val cand = probes.join(lists, "cent_id")
         .where(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid")).distinct()
+        .select(col("qid"), col("cid"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos_micro").desc, col("cid"))
       cand
         .join(e.select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn")), "qid")

@@ -191,17 +191,18 @@ object ErPipeline {
       .collect()(0)
     val stats0 = (st.getLong(0), st.getDouble(1))
 
-    val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
-      .select($"key", lit(true).as("__drop"))
-    val hotKeys = skewTail
-      .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
-      .select($"key", ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
+    // ONE broadcast for the whole tail (optimization r6, guide §2.4): drop
+    // flags and salt counts ride the same tiny frame, so the two broadcast
+    // builds + two left joins collapse to one of each; normal keys still
+    // default to salts=1 when they miss the join.
+    val tailInfo = skewTail.select($"key",
+      ($"n" > cfg.maxBlockSize).as("__drop"),
+      ceil($"n" / cfg.saltThreshold).cast("int").as("salts"))
     val nSalted = st.getLong(2)
 
     val withSalt = blocks
-      .join(broadcast(dropKeys), Seq("key"), "left")
-      .where($"__drop".isNull)
-      .join(broadcast(hotKeys), Seq("key"), "left")
+      .join(broadcast(tailInfo), Seq("key"), "left")
+      .where($"__drop".isNull || !$"__drop")
       .withColumn("salts", coalesce($"salts", lit(1)))
       .withColumn("salt", pmod(xxhash64($"doc_id"), $"salts").cast("int"))
 
@@ -237,10 +238,19 @@ object ErPipeline {
     * matter — a key hot on one side but absent from the other produces no
     * pairs and is neither dropped nor salted.
     */
+  /** `uniqueKeys = true` (optimization r6, guide §2.4/§8 — caller knowledge
+    * the planner cannot derive): when every doc emits AT MOST ONE blocking
+    * key (a single-keyer setup), a pair can only arise under one shared key
+    * and one grid cell, so the cross-key dedup aggregate — a sort-heavy
+    * shuffle of the full pair set (min over a string key falls back to
+    * SortAggregate) — is provably a no-op and is skipped. Declaring it for a
+    * multi-keyer blocking config would emit duplicate pairs; leave false.
+    */
   def linkPairs(
       blocksA: Dataset[BlockRow],
       blocksB: Dataset[BlockRow],
-      cfg: PairConfig = PairConfig()): (Dataset[PairIds], PairStats) = {
+      cfg: PairConfig = PairConfig(),
+      uniqueKeys: Boolean = false): (Dataset[PairIds], PairStats) = {
     val spark = blocksA.sparkSession
     import spark.implicits._
 
@@ -262,19 +272,16 @@ object ErPipeline {
       count(when($"n" <= cfg.maxBlockSize, 1)).as("salted"))
       .collect()(0)
 
-    val dropKeys = skewTail.filter($"n" > cfg.maxBlockSize)
-      .select($"key", lit(true).as("__drop"))
-    val hotKeys = skewTail
-      .filter($"n" > cfg.saltThreshold && $"n" <= cfg.maxBlockSize)
-      .select($"key",
-        ceil($"na" / cfg.saltThreshold).cast("int").as("sa"),
-        ceil($"nb" / cfg.saltThreshold).cast("int").as("sb"))
+    // ONE broadcast for the whole tail (optimization r6) — see `pairs` above
+    val tailInfo = skewTail.select($"key",
+      ($"n" > cfg.maxBlockSize).as("__drop"),
+      ceil($"na" / cfg.saltThreshold).cast("int").as("sa"),
+      ceil($"nb" / cfg.saltThreshold).cast("int").as("sb"))
     val nSalted = st.getLong(2)
 
     def salted(blocks: Dataset[BlockRow]) = blocks
-      .join(broadcast(dropKeys), Seq("key"), "left")
-      .where($"__drop".isNull)
-      .join(broadcast(hotKeys), Seq("key"), "left")
+      .join(broadcast(tailInfo), Seq("key"), "left")
+      .where($"__drop".isNull || !$"__drop")
       .withColumn("sa", coalesce($"sa", lit(1)))
       .withColumn("sb", coalesce($"sb", lit(1)))
     val a = salted(blocksA)
@@ -286,9 +293,11 @@ object ErPipeline {
       .withColumn("i", explode(sequence(lit(0), $"sa" - 1)))
       .select($"key", $"doc_id".as("b_id"), $"i", $"j")
 
-    val pairs = a.join(b, Seq("key", "i", "j"))
-      .groupBy($"a_id", $"b_id").agg(min($"key").as("block_key"))
-      .as[PairIds]
+    val joined = a.join(b, Seq("key", "i", "j"))
+    val pairs =
+      (if (uniqueKeys) joined.select($"a_id", $"b_id", $"key".as("block_key"))
+       else joined.groupBy($"a_id", $"b_id").agg(min($"key").as("block_key")))
+        .as[PairIds]
     (pairs, PairStats(st.getLong(0), st.getDouble(1), nSalted))
   }
 

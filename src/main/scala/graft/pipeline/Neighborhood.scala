@@ -35,8 +35,13 @@ object Neighborhood {
     * no chained `when()` offset expression, so codegen survives 10⁴ partitions.
     */
   def globalRank(df: DataFrame, key: Column, id: Column, partitions: Int): DataFrame = {
-    // range exchange + narrow in-partition sort, pinned; the ONLY shuffle here.
-    val ranged = graft.io.Persist.truncate(
+    // range exchange + narrow in-partition sort, pinned; the ONLY shuffle
+    // here. LAZY pin (optimization r6): the first consuming stage
+    // materializes the blocks — stability across the offsets job and the
+    // consuming joins is preserved (each checkpoint partition is computed
+    // once and every later scan reads those blocks), the dedicated eager
+    // materialization job is gone.
+    val ranged = graft.io.Persist.pinLazy(
       df.repartitionByRange(partitions, key, id)
         .sortWithinPartitions(key, id))
     // local rank WITHOUT a window: a window partitioned by __pid would force

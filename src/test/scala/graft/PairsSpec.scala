@@ -101,6 +101,22 @@ class PairsSpec extends SparkSpec {
     assert(st2.saltedBlocks === 1)
   }
 
+  test("linkPairs uniqueKeys fast path equals the deduped path (single-keyer)") {
+    import spark.implicits._
+    val r = new scala.util.Random(47)
+    // single key PER DOC (the uniqueKeys contract), including a salted hot key
+    val a = (1 to 120).map(i => BlockRow(f"a$i%03d", if (i <= 40) "hot" else s"k${r.nextInt(6)}"))
+    val b = (1 to 130).map(i => BlockRow(f"b$i%03d", if (i <= 50) "hot" else s"k${r.nextInt(6)}"))
+    def rows(unique: Boolean) = {
+      val (p, _) = ErPipeline.linkPairs(a.toDS(), b.toDS(),
+        PairConfig(saltThreshold = 16), uniqueKeys = unique)
+      p.collect().map(x => (x.a_id, x.b_id, x.block_key)).sorted.toSeq
+    }
+    // identical MULTISET (sorted seq compare): the fast path must not drop
+    // pairs or emit duplicates when the precondition holds
+    assert(rows(unique = true) === rows(unique = false))
+  }
+
   test("pair set is independent of input partitioning and shuffle partitions") {
     val r = new scala.util.Random(31)
     val rows = (1 to 300).map(i => BlockRow(f"d$i%04d", s"k${r.nextInt(20)}")) ++

@@ -199,6 +199,26 @@ class BandedPairsSpec extends SparkSpec {
     }
   }
 
+  test("singleBand skips the rep-pair dedup yet equals the default path") {
+    import spark.implicits._
+    val r = new scala.util.Random(61)
+    // ONE band per item (the singleBand contract), with dup payload groups
+    // and a salted hot bucket
+    val rows: Seq[(Long, Long, Seq[Long])] = (0L until 150L).map { i =>
+      val p = r.nextInt(20).toLong
+      (i, p, Seq(if (i < 60) 7L else p % 4))
+    }
+    def run(single: Boolean) = BandedPairs.verifiedPairs(
+      rows.toDF("id", "payload", "bands"), col("payload").cast("string"),
+      Seq(lit(1000000L).as("sim")),
+      cfg = PairConfig(saltThreshold = 16), singleBand = single) { reps =>
+      reps.withColumn("sim", lit(1000000L))
+    }.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    // identical MULTISET (sorted seq compare): skipping the distinct must not
+    // introduce duplicate pairs when every item carries exactly one band
+    assert(run(single = true) === run(single = false))
+  }
+
   test("two linked 10k-member dup groups: verify sees O(reps) pairs, never members²") {
     // groups A (payload 10) and B (payload 20) share band value 7 -> exactly
     // ONE candidate rep pair; naive expand-then-verify would materialize 10⁸
