@@ -57,8 +57,9 @@ object EdgeLog {
     * uncommitted in the checkpoint is the newest, and the restart's replay
     * overwrites that partition in place — folding it into `-1` first would
     * have let the replay re-add its rows beside the folded copy. Downstream
-    * reads are unchanged row-for-row (`dropDuplicates` over all columns is
-    * a no-op on a healthy log — edges are emitted exactly once per pair).
+    * reads are unchanged row-for-row: the fold is a pure row-preserving
+    * move (no dedup — a pair legitimately emitted in two batches must keep
+    * its multiplicity, ADVICE r5).
     * Writers must still be paused (readers race the directory swap).
     *
     * @param targetFiles when > 0, repartition the fold to this many files;
@@ -83,9 +84,13 @@ object EdgeLog {
     val maxId = ids.max
     val foldIds = ids.filter(_ != maxId)
     if (foldIds.isEmpty) return // one batch only: nothing to fold
+    // a pure row-preserving move (ADVICE r5): the fold must keep the edge
+    // MULTISET bit-identical — the old dropDuplicates() silently merged a
+    // pair legitimately emitted in two different batches (a re-ingested doc
+    // id pairing against the old corpus again), breaking the
+    // streamed-equals-batch multiset contract the recovery tests assert
     val folded0 = spark.read
       .parquet(foldIds.map(i => s"$dir/batch_id=$i").toIndexedSeq: _*)
-      .dropDuplicates()
     val folded = if (targetFiles > 0) folded0.repartition(targetFiles) else folded0
     fs.delete(new HPath(tmpPath), true)
     folded.write.mode("overwrite").parquet(s"$tmpPath/batch_id=-1")

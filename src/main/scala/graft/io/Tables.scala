@@ -358,8 +358,18 @@ object Tables {
       // anything else — e.g. a pre-batch-layout flat corpus — is NOT ours to
       // destroy: fail loudly instead of silently wiping history
       if (fs.exists(new HPath(path))) {
+        // an UNCOMMITTED batch_id dir (no visible data files — a crashed
+        // first attempt's staging leftovers) is ours to clear; anything else
+        // visible is not
         val visible = fs.listStatus(new HPath(path))
-          .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".") ||
+              (s.isDirectory && n.startsWith("batch_id=") &&
+                !fs.listStatus(s.getPath).exists(f => f.isFile &&
+                  !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")))
+          }
+          .map(_.getPath.getName)
         require(visible.isEmpty,
           s"writeBatchBucketed: $path holds non-batch-layout data (${visible.take(3).mkString(", ")}…); " +
             "refusing to overwrite — migrate or clear it explicitly")
@@ -409,6 +419,13 @@ object Tables {
       if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else fs.listStatus(p).filter(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    // a partition dir counts as COMMITTED only when it carries at least one
+    // visible data file (ADVICE r5: a crashed write leaves a batch_id dir
+    // holding just `_temporary`/staging entries — adopting it would infer a
+    // schema from nothing and skip the first-write branch)
+    def committed(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      fs.listStatus(s.getPath).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     if (spark.catalog.tableExists(table)) {
       // The catalog entry can be STALE, not just missing: a maintenance run
       // in a DIFFERENT JVM (spark-submit MaintenanceJob compact-corpus while
@@ -427,36 +444,67 @@ object Tables {
         val disk = diskParts().map(_.getPath.getName).toSet
         if (cat != disk) {
           // Partition REMOVALS are legitimate only as the outcome of a
-          // keep-newest compaction fold, which always leaves the
-          // batch_id=-1 fold partition behind. Anything else — a mid-swap
-          // race with a compaction that should not be running concurrently,
-          // an external deletion, a partial wipe — must stay FAIL-STOP:
-          // syncing the catalog to a damaged dir would let this batch score
-          // against a silently truncated corpus and commit wrong edges,
-          // where a stale entry at worst crashes the batch and retries.
+          // keep-newest compaction fold, and the fold records WHICH batch
+          // partitions it absorbed in a provenance marker inside
+          // `batch_id=-1` (`_folded_ids`, written by compactBatchBucketed).
+          // Every removed partition must be accounted for by that record
+          // (ADVICE r5: merely requiring the -1 dir to EXIST let any later
+          // external deletion of a real batch partition be silently adopted
+          // once the first compaction had run). Anything unaccounted — a
+          // mid-swap race, an external deletion, a partial wipe — stays
+          // FAIL-STOP: syncing the catalog to a damaged dir would let this
+          // batch score against a silently truncated corpus and commit
+          // wrong edges, where a stale entry at worst crashes and retries.
           val removed = cat -- disk
-          require(removed.isEmpty || disk.contains("batch_id=-1"),
+          require(removed.isEmpty || removed.subsetOf(readFoldedIds(fs, path)),
             s"ensureBatchTable: $path lost partitions " +
               s"(${removed.take(3).mkString(", ")}…) without a compaction " +
-              "fold (batch_id=-1 absent) — refusing to adopt the damaged " +
-              "layout; restore the directory or finish/rerun compaction")
+              "fold accounting for them (batch_id=-1/_folded_ids) — " +
+              "refusing to adopt the damaged layout; restore the directory " +
+              "or finish/rerun compaction")
           spark.sql(s"MSCK REPAIR TABLE $table SYNC PARTITIONS")
           spark.catalog.refreshTable(table)
         }
       }
       true
     } else {
-      val leaves = diskParts()
+      val leaves = diskParts().filter(committed)
       if (leaves.isEmpty) false
       else {
-        // schema from a leaf dir's files — the raw data carries everything
-        // but the partition column
+        // schema from a COMMITTED leaf dir's files — the raw data carries
+        // everything but the partition column
         val dataSchema = spark.read.parquet(leaves.minBy(_.getPath.getName).getPath.toString).schema
         createBatchTableEntry(spark, table, path, bucketCol, nBuckets,
           dataSchema.toDDL + ", batch_id BIGINT")
         true
       }
     }
+  }
+
+  /** Fold provenance (ADVICE r5): which real batch partitions past
+    * compactions absorbed into `batch_id=-1`. Read side of the `_folded_ids`
+    * marker `compactBatchBucketed` writes; empty when no fold ever ran (or
+    * the -1 dir itself is gone — in which case NO removal is accounted for).
+    */
+  private[io] def readFoldedIds(
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Set[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val m = new HPath(s"$root/batch_id=-1/_folded_ids")
+    if (!fs.exists(m)) Set.empty
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private[io] def writeFoldedIds(
+      fs: org.apache.hadoop.fs.FileSystem, root: String, ids: Set[String]): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val out = fs.create(new HPath(s"$root/batch_id=-1/_folded_ids"), true)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
   }
 
   // the OPTIONS clause (not TBLPROPERTIES) is what lands in the relation's
@@ -542,6 +590,14 @@ object Tables {
     // bucket file naming is preserved, so the join guarantee is too)
     FileUtil.copy(fs, new HPath(s"$path/batch_id=$maxId"),
       fs, new HPath(s"$tmpPath/batch_id=$maxId"), false, conf)
+    // fold provenance (ADVICE r5): record every REAL batch partition this
+    // fold absorbs — merged with what previous folds recorded (re-compaction
+    // folds the old -1 partition too) — so ensureBatchTable can tell a
+    // legitimate fold outcome from external partition loss. Staged with the
+    // data: the marker lands inside the tmp dir before any destructive step.
+    val absorbed = readFoldedIds(fs, path) ++
+      ids.filter(i => i != maxId && i != -1L).map(i => s"batch_id=$i")
+    writeFoldedIds(fs, tmpPath, absorbed)
     spark.sql(s"DROP TABLE $table")
     fs.delete(new HPath(bakPath), true)
     require(fs.rename(new HPath(path), new HPath(bakPath)),

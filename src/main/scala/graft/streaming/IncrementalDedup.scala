@@ -67,14 +67,25 @@ object IncrementalDedup {
       labelSnapshotsToKeep: Option[Int] = None,
       onBatchComplete: Long => Unit = _ => ()): StreamingQuery = {
 
+    // read-gate catalog state cached across micro-batches — see
+    // IncrementalLink.linkStream (VERDICT r5 #2); fresh closure on restart
+    // re-runs the full gate
+    val gateSeen = scala.collection.mutable.Set[String]()
+    def gated(key: String)(check: => Boolean): Boolean =
+      gateSeen.contains(key) || { val ok = check; if (ok) gateSeen += key; ok }
+
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val newBanded = graft.io.Persist.truncate(banded(batch))
-        if (newBanded.head(1).nonEmpty) {
+        // lazy pin: the emptiness-gate count right below materializes it
+        val newBanded = graft.io.Persist.pinLazy(banded(batch))
+        // ONE count doubles as the emptiness gate and the metrics doc count
+        // (VERDICT r5 #2)
+        val nDocs = newBanded.count()
+        if (nDocs > 0) {
           val fpsDir = s"$corpusDir/fps"
           val blocksDir = s"$corpusDir/bandblocks"
           // ensureBatchTable, not tableExists: the catalog is per-JVM, so a
@@ -82,14 +93,14 @@ object IncrementalDedup {
           // layout rather than verify against a falsely "empty" corpus
           val hasCorpus = corpusTable match {
             case Some(tn) =>
-              graft.io.Tables.ensureBatchTable(spark, tn + "_bands", blocksDir, "key", nBuckets) &&
-                graft.io.Tables.ensureBatchTable(spark, tn + "_fps", fpsDir, "doc_id", nBuckets)
+              gated(tn + "_bands")(graft.io.Tables.ensureBatchTable(spark, tn + "_bands", blocksDir, "key", nBuckets)) &&
+                gated(tn + "_fps")(graft.io.Tables.ensureBatchTable(spark, tn + "_fps", fpsDir, "doc_id", nBuckets))
             case None =>
               // BOTH dirs must have a committed batch: a crash between the
               // bands write and the fps write would otherwise leave hasCorpus
               // true with one of the two reads below failing forever
-              graft.io.EdgeLog.hasData(spark, fpsDir) &&
-                graft.io.EdgeLog.hasData(spark, blocksDir)
+              gated(fpsDir)(graft.io.EdgeLog.hasData(spark, fpsDir)) &&
+                gated(blocksDir)(graft.io.EdgeLog.hasData(spark, blocksDir))
           }
           // previous batches' fps (verify b-side + seen-id set for singleton
           // detection); doc_id-bucketed when a table name is configured.
@@ -125,7 +136,8 @@ object IncrementalDedup {
               greatest($"a_id", $"b_id").as("b_id"), $"jacc_micro")
 
           val newEdges = verified(nnPairs.toDF(), newBanded.select($"doc_id", $"fps"))
-          val edges = graft.io.Persist.truncate(oldFps match {
+          // lazy pin: the EdgeLog write below materializes it
+          val edges = graft.io.Persist.pinLazy(oldFps match {
             case None => newEdges
             case Some(fpsTable) =>
               // trickle-batch probe pruning: redundant key IN (...) hint so
@@ -140,7 +152,15 @@ object IncrementalDedup {
                 }).where($"batch_id" < batchId).drop("batch_id"),
                 newBlocks.toDF(), "key").as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks, cfg.pairCfg)
-              newEdges.unionByName(verified(noPairs.toDF(), fpsTable))
+              // prune the verify b-side fps read the same way (VERDICT r5
+              // #1): candidate b_ids ⊆ old-block doc ids under the batch's
+              // band keys, so a redundant `doc_id IN (...)` (cast to the fps
+              // table's long ids) prunes bucket files + row groups of the
+              // accumulated fps table — including its fat fps arrays —
+              // instead of scanning the whole corpus per trigger
+              val prunedFps = ProbePrune(fpsTable,
+                oldBlocks.toDF().select($"doc_id".cast("long").as("doc_id")), "doc_id")
+              newEdges.unionByName(verified(noPairs.toDF(), prunedFps))
           })
           // replay-idempotent: overwrites the batch's own partition dir
           graft.io.EdgeLog.write(edges, edgesDir, batchId)
@@ -152,10 +172,10 @@ object IncrementalDedup {
               newBanded.select($"doc_id"), labelSnapshotsToKeep)
           }
 
-          // per-batch metrics beside the corpus (both frames pinned;
-          // replay-idempotent — see BatchMetrics)
+          // per-batch metrics beside the corpus (replay-idempotent — see
+          // BatchMetrics); doc count rides the emptiness gate above
           BatchMetrics.write(spark, s"$corpusDir/metrics", batchId,
-            newBanded.count(), edges.count())
+            nDocs, edges.count())
 
           // grow the corpus (band rows keyed for linkPairs; fps for verify);
           // per-batch partitions, replay overwrites its own (VERDICT r4 #1)

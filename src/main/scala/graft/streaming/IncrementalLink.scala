@@ -137,24 +137,30 @@ private[streaming] object LabelCommit {
         // batch can touch — mergeDelta only joins `labels` on endpoints, and
         // the singles check only probes new docs, so the pruned superset is
         // exact for both
-        val probeIds = graft.io.Persist.truncate(
+        // LAZY pins throughout this commit (optimization r6 / VERDICT r5 #2):
+        // each pinned frame's first consumer is one of the bounded
+        // partition-set collects (or the delta CC's signature), so the frame
+        // materializes inside that job — the old eager pins serialized one
+        // dedicated materialization job per frame onto the per-trigger
+        // driver floor
+        val probeIds = graft.io.Persist.pinLazy(
           batchEdges.select(col(batchEdges.columns(0)).as("doc_id"))
             .union(batchEdges.select(col(batchEdges.columns(1)).as("doc_id")))
             .union(newDocIds.select(col("doc_id")))
             .distinct())
         val lookupParts = probeIds.select(store.docPart(col("doc_id")).as("p"))
           .distinct().collect().map(_.getInt(0)).toSet
-        val lookup = graft.io.Persist.truncate(
+        val lookup = graft.io.Persist.pinLazy(
           store.readDocPartitions(spark, lookupParts)
             .select(col("doc_id"), col("cluster_id")))
         val delta = graft.pipeline.Cluster.mergeDelta(lookup, batchEdges)
-        val relabel = graft.io.Persist.truncate(delta.relabel)
-        val added = graft.io.Persist.truncate(delta.added)
+        val relabel = graft.io.Persist.pinLazy(delta.relabel)
+        val added = graft.io.Persist.pinLazy(delta.added)
         // edge-free new docs enter as singletons labeled by their own id;
         // presence is checked against the pruned doc-layout lookup — exact,
         // because both layouts committed atomically last batch (a replayed
         // doc is already present whatever cluster's partition it lives in)
-        val singles = graft.io.Persist.truncate(
+        val singles = graft.io.Persist.pinLazy(
           newDocIds.select(col("doc_id"))
             .join(lookup.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .join(added.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -184,7 +190,7 @@ private[streaming] object LabelCommit {
           val movedMembers = joined
             .where(col("new_lab").isNotNull && col("new_lab") =!= col("lab"))
             .select(col("doc_id"), col("new_lab").as("cluster_id"))
-          val byDocChanged = graft.io.Persist.truncate(
+          val byDocChanged = graft.io.Persist.pinLazy(
             movedMembers.unionByName(added).unionByName(singles))
           val docParts = byDocChanged.select(store.docPart(col("doc_id")).as("p"))
             .distinct().collect().map(_.getInt(0)).toSet
@@ -337,18 +343,37 @@ object IncrementalLink {
     val spark = stream.sparkSession
     import spark.implicits._
 
+    // Read-gate catalog state cached across micro-batches (VERDICT r5 #2 —
+    // the per-trigger driver floor): ensureBatchTable's reconcile costs a
+    // SHOW PARTITIONS collect + a listStatus EVERY batch, yet this stream is
+    // the table's only writer — once the gate has reconciled/recreated the
+    // entry in this JVM it stays valid for the stream's lifetime. The cache
+    // lives in the foreachBatch closure, so a restart (fresh closure, the
+    // cross-JVM-maintenance window) re-runs the full gate; stale state that
+    // could only arise from a concurrent external writer (disallowed by the
+    // compaction contract) fails loudly at the read instead of silently.
+    val gateSeen = scala.collection.mutable.Set[String]()
+    def gated(key: String)(check: => Boolean): Boolean =
+      gateSeen.contains(key) || { val ok = check; if (ok) gateSeen += key; ok }
+
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
-        val newRecords = graft.io.Persist.truncate(
+        // lazy pin: the emptiness-gate count right below materializes it
+        val newRecords = graft.io.Persist.pinLazy(
           ErPipeline.extract(batch, config).toDF()).as[ErPipeline.CleanRecord]
-        if (!newRecords.isEmpty) {
+        // ONE count over the pinned batch (cached-block scan) doubles as the
+        // emptiness gate and the metrics doc count (VERDICT r5 #2: the
+        // isEmpty probe + a separate metrics count were two driver actions)
+        val nDocs = newRecords.toDF().count()
+        if (nDocs > 0) {
           // blocking scheme = the config's lookup flags, SAME as batch
           // LinkJob stage ② (ADVICE r3: a lookup-flagged config must stream
           // the same candidate set it links in batch)
           val keyers = graft.pipeline.Blocking.fromConfig(config)
-          val newBlocks = graft.io.Persist.truncate(
+          // lazy pin: materialized by the pair generation's skew-stats job
+          val newBlocks = graft.io.Persist.pinLazy(
             ErPipeline.block(newRecords, keyers).toDF()).as[ErPipeline.BlockRow]
           val recordsDir = s"$corpusDir/records"
           val blocksDir = s"$corpusDir/blocks"
@@ -357,14 +382,14 @@ object IncrementalLink {
           // layout rather than score against a falsely "empty" corpus
           val hasCorpus = corpusTable match {
             case Some(tn) =>
-              graft.io.Tables.ensureBatchTable(spark, tn, recordsDir, "doc_id", nBuckets) &&
-                graft.io.Tables.ensureBatchTable(spark, tn + "_blocks", blocksDir, "key", nBuckets)
+              gated(tn)(graft.io.Tables.ensureBatchTable(spark, tn, recordsDir, "doc_id", nBuckets)) &&
+                gated(tn + "_blocks")(graft.io.Tables.ensureBatchTable(spark, tn + "_blocks", blocksDir, "key", nBuckets))
             case None =>
               // BOTH dirs must have a committed batch: a crash between the
               // records write and the blocks write would otherwise leave
               // hasCorpus true with the blocks read below failing forever
-              graft.io.EdgeLog.hasData(spark, recordsDir) &&
-                graft.io.EdgeLog.hasData(spark, blocksDir)
+              gated(recordsDir)(graft.io.EdgeLog.hasData(spark, recordsDir)) &&
+                gated(blocksDir)(graft.io.EdgeLog.hasData(spark, blocksDir))
           }
           // the accumulated corpus records: scoring's b-side. Every corpus
           // read prunes to `batch_id < batchId` — previous batches only,
@@ -408,12 +433,24 @@ object IncrementalLink {
                 }).where(col("batch_id") < batchId).drop("batch_id"),
                 newBlocks.toDF(), "key").as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
+              // prune the score join's b-side the same way (VERDICT r5 #1 —
+              // the last O(accumulated-corpus) read in the loop): every
+              // candidate b_id is an old-block doc under one of the batch's
+              // keys, so a redundant `doc_id IN (...)` over the bounded
+              // old-block id set lets the doc_id-bucketed records table
+              // prune bucket files + row groups instead of scanning every
+              // accumulated record (and its fat props) per trigger; above
+              // the key cap the full exchange-free scan stands
+              val corpusB = ProbePrune(corpus.toDF(), oldBlocks.toDF(), "doc_id")
+                .as[ErPipeline.CleanRecord]
               scoredNew.unionByName(
-                ErPipeline.score(noPairs, newRecords, corpus, config))
+                ErPipeline.score(noPairs, newRecords, corpusB, config))
           }
           // linkPairs keeps (new, old) orientation; normalize to (min, max)
           // so streamed edges equal the batch pipeline's bit-for-bit
-          val batchEdges = graft.io.Persist.truncate(
+          // lazy pin: the EdgeLog write right below materializes it; the
+          // label commit and the metrics count then read the pinned blocks
+          val batchEdges = graft.io.Persist.pinLazy(
             ErPipeline.matchEdges(scored, config)
               .select(least(col("a_id"), col("b_id")).as("a_id"),
                 greatest(col("a_id"), col("b_id")).as("b_id")))
@@ -428,9 +465,10 @@ object IncrementalLink {
           }
 
           // per-batch metrics beside the corpus (north rule "metric'd");
-          // both frames are pinned, so the two counts are cached-block scans
+          // the doc count rides the emptiness gate above, the edge count is
+          // one cached-block scan of the pinned edges
           BatchMetrics.write(spark, s"$corpusDir/metrics", batchId,
-            newRecords.toDF().count(), batchEdges.count())
+            nDocs, batchEdges.count())
           // grow the corpus + its blocks table (Database.index analog);
           // bucketed-by-doc_id when a table name is configured, so every later
           // batch's score join leaves the accumulated records in place. Each

@@ -64,6 +64,52 @@ class ProbePruneSpec extends SparkSpec {
     assert(plan.contains("In(key"), "In filter not pushed to the scan")
   }
 
+  test("records/fps b-side prune: doc_id IN-list prunes corpus bucket files") {
+    import spark.implicits._
+    // the VERDICT r5 #1 path: the score join's b-side (linkStream records)
+    // and the verify fps read (nearDupStream) now route the bounded
+    // candidate-b-id set through ProbePrune against their doc_id-bucketed
+    // corpus tables — a trickle batch must open only the affected buckets'
+    // files, and the filter must be result-invariant under the downstream
+    // equi-join on doc_id
+    val base = Files.createTempDirectory("probeprune3").toString
+    val recs0 = (1L to 400L).map(i => (i, Seq(i, i + 1))).toDF("doc_id", "fps")
+    val recs1 = (401L to 800L).map(i => (i, Seq(i, i + 1))).toDF("doc_id", "fps")
+    Tables.writeBatchBucketed(recs0, "graft_pp3_fps", s"$base/fps", "doc_id", 8, 0L)
+    Tables.writeBatchBucketed(recs1, "graft_pp3_fps", s"$base/fps", "doc_id", 8, 1L)
+    val old = spark.table("graft_pp3_fps").where($"batch_id" < 2).drop("batch_id")
+
+    val candidateBIds = Seq(7L, 401L).toDF("doc_id")
+    val pruned = ProbePrune(old, candidateBIds, "doc_id")
+    // (a) result invariance vs the unpruned b-side restricted by the join
+    val viaJoin = old.join(candidateBIds, "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.join(candidateBIds, "doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet === viaJoin)
+    assert(viaJoin === Set(7L, 401L))
+    // (b) bucket-FILE pruning in the non-broadcast join shape (the at-scale
+    // plan: the accumulated corpus is never the broadcast side, so the scan
+    // keeps its bucketed distribution and the In filter selects buckets —
+    // probed on 4.1.2: `SelectedBucketsCount: 2 out of 8`). In the
+    // trickle-broadcast shape the planner drops the bucketed scan and only
+    // the pushed In filter prunes (row groups via the sortBy(doc_id) column
+    // stats) — documented, still O(affected data), but file listing is not
+    // reduced there.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val plan = planOf(pruned.join(candidateBIds, "doc_id"))
+      SelectedBuckets.findFirstMatchIn(plan) match {
+        case Some(m) =>
+          val (picked, total) = (m.group(1).toInt, m.group(2).toInt)
+          assert(total === 8 && picked >= 1 && picked <= 2,
+            s"expected <= 2 of 8 buckets selected, got ${m.matched}")
+        case None => fail(s"no bucket pruning in plan:\n$plan")
+      }
+      assert(plan.contains("In(doc_id"), "In filter not pushed to the scan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("above maxKeys the probe stays unfiltered (full-scan plan)") {
     import spark.implicits._
     val base = Files.createTempDirectory("probeprune2").toString

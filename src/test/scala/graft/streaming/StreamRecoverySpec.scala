@@ -263,6 +263,10 @@ class StreamRecoverySpec extends SparkSpec {
         }
         assert(d.delete(), s"could not remove $d")
       }
+      // the real compaction records WHICH partitions it absorbed (ADVICE r5
+      // fold provenance); the simulation must too or the gate refuses it
+      Files.write(new java.io.File(fold, "_folded_ids").toPath,
+        "batch_id=0\nbatch_id=1".getBytes("UTF-8"))
 
       // the per-batch gate must re-sync partition metadata with disk; the
       // accumulated-corpus read (batch_id < current) must then see the full
@@ -275,9 +279,24 @@ class StreamRecoverySpec extends SparkSpec {
         .collect().map(_.getString(0)).toSet
       assert(parts === Set("batch_id=-1", "batch_id=2"), parts)
 
+      // external deletion of a REAL batch partition while the fold dir (and
+      // its provenance marker) remain must FAIL-STOP: batch_id=2 was never
+      // absorbed by any fold, so adopting its loss would silently truncate
+      // the corpus (ADVICE r5 — the hole the provenance marker closes: a
+      // bare "-1 exists" check would have synced this loss away)
+      graft.io.LocalFs.deleteTree(java.nio.file.Paths.get(path, "batch_id=2"))
+      val refusedReal = intercept[IllegalArgumentException] {
+        graft.io.Tables.ensureBatchTable(spark, t, path, "doc_id", 8)
+      }
+      assert(refusedReal.getMessage.contains("without a compaction fold"),
+        refusedReal.getMessage)
+
+      // restore batch 2 (replay-idempotent partition overwrite), then:
       // partition loss WITHOUT the fold marker (here: the -1 dir itself
-      // vanishes — a partial wipe, not a compaction outcome) must FAIL-STOP,
-      // not be adopted: adopting would silently truncate the corpus
+      // vanishes, taking the provenance record with it — a partial wipe,
+      // not a compaction outcome) must FAIL-STOP, not be adopted
+      graft.io.Tables.writeBatchBucketed(
+        Seq((4L, "d")).toDF("doc_id", "v"), t, path, "doc_id", 8, 2L)
       graft.io.LocalFs.deleteTree(java.nio.file.Paths.get(path, "batch_id=-1"))
       val refused = intercept[IllegalArgumentException] {
         graft.io.Tables.ensureBatchTable(spark, t, path, "doc_id", 8)
