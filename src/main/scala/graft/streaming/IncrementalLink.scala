@@ -63,13 +63,27 @@ private[streaming] object BatchMetrics {
 private[streaming] object ProbePrune {
   val MaxKeys = 1024
 
-  def apply(oldBlocks: DataFrame, batchBlocks: DataFrame, keyCol: String,
-      maxKeys: Int = MaxKeys): DataFrame = {
-    val ks = batchBlocks.select(keyCol).distinct()
+  /** The bounded key list behind the hint, exposed so callers can CHAIN
+    * prunes without paying for hopeless ones: `None` means the source holds
+    * more than `maxKeys` distinct values — no filter is worth building (and
+    * for the records/fps b-side, not even the key collect: a batch that
+    * touches most buckets makes the derived id set unbounded too, so the
+    * full exchange-free scan is the right plan and the extra driver action
+    * pure regression — measured on StreamScale local[2]).
+    */
+  def keyList(source: DataFrame, keyCol: String,
+      maxKeys: Int = MaxKeys): Option[Seq[Any]] = {
+    val ks = source.select(keyCol).distinct()
       .limit(maxKeys + 1).collect().map(_.get(0))
-    if (ks.length > maxKeys) oldBlocks
-    else oldBlocks.where(col(keyCol).isin(ks.toIndexedSeq: _*))
+    if (ks.length > maxKeys) None else Some(ks.toIndexedSeq)
   }
+
+  def apply(oldBlocks: DataFrame, batchBlocks: DataFrame, keyCol: String,
+      maxKeys: Int = MaxKeys): DataFrame =
+    keyList(batchBlocks, keyCol, maxKeys) match {
+      case None     => oldBlocks
+      case Some(ks) => oldBlocks.where(col(keyCol).isin(ks: _*))
+    }
 }
 
 
@@ -422,16 +436,17 @@ object IncrementalLink {
           val scored = corpusRecs match {
             case None => scoredNew
             case Some(corpus) =>
-              val oldBlocks = ProbePrune(
-                (corpusTable match {
-                  case Some(tn) =>
-                    // blocks bucketed on key: the per-batch linkPairs groupBy
-                    // and key-join read the corpus blocks pre-clustered
-                    spark.catalog.refreshTable(tn + "_blocks")
-                    spark.table(tn + "_blocks")
-                  case None => spark.read.parquet(blocksDir)
-                }).where(col("batch_id") < batchId).drop("batch_id"),
-                newBlocks.toDF(), "key").as[ErPipeline.BlockRow]
+              val rawOldBlocks = (corpusTable match {
+                case Some(tn) =>
+                  // blocks bucketed on key: the per-batch linkPairs groupBy
+                  // and key-join read the corpus blocks pre-clustered
+                  spark.catalog.refreshTable(tn + "_blocks")
+                  spark.table(tn + "_blocks")
+                case None => spark.read.parquet(blocksDir)
+              }).where(col("batch_id") < batchId).drop("batch_id")
+              val keyHint = ProbePrune.keyList(newBlocks.toDF(), "key")
+              val oldBlocks = keyHint.fold(rawOldBlocks)(ks =>
+                rawOldBlocks.where(col("key").isin(ks: _*))).as[ErPipeline.BlockRow]
               val (noPairs, _) = ErPipeline.linkPairs(newBlocks, oldBlocks)
               // prune the score join's b-side the same way (VERDICT r5 #1 —
               // the last O(accumulated-corpus) read in the loop): every
@@ -439,10 +454,15 @@ object IncrementalLink {
               // keys, so a redundant `doc_id IN (...)` over the bounded
               // old-block id set lets the doc_id-bucketed records table
               // prune bucket files + row groups instead of scanning every
-              // accumulated record (and its fat props) per trigger; above
-              // the key cap the full exchange-free scan stands
-              val corpusB = ProbePrune(corpus.toDF(), oldBlocks.toDF(), "doc_id")
-                .as[ErPipeline.CleanRecord]
+              // accumulated record (and its fat props) per trigger. Only
+              // attempted when the BLOCKS probe pruned (a genuine trickle
+              // batch): with most buckets touched, the id set is unbounded
+              // and the full exchange-free scan is the better plan — the
+              // extra collect there was a measured per-batch regression.
+              val corpusB =
+                if (keyHint.isEmpty) corpus
+                else ProbePrune(corpus.toDF(), oldBlocks.toDF(), "doc_id")
+                  .as[ErPipeline.CleanRecord]
               scoredNew.unionByName(
                 ErPipeline.score(noPairs, newRecords, corpusB, config))
           }
