@@ -63,13 +63,73 @@ object Neighborhood {
   }
 
   /** Candidate pairs (a_id, b_id): every record with its 1..w successors in
-    * (key, id) order — equi-join on exploded successor ranks.
+    * (key, id) order.
+    *
+    * Shuffle-free successor lookup (optimization r6, guide §2.4): the old
+    * shape exploded every row to its w successor ranks and equi-joined the
+    * whole ranked corpus with itself — two corpus-scale exchanges to look up
+    * rows that are PHYSICALLY ADJACENT in the pinned range partitioning.
+    * Now: ① in-partition successors come from a narrow sliding pass over
+    * each (key, id)-sorted partition (no join, no shuffle); ② pairs that
+    * span a partition boundary have their left end among the last w rows of
+    * one partition and their right end among the first w rows of a later
+    * one, so a boundary frame of ≤ 2w rows per partition (with global
+    * ranks) covers them via the old exploded-rank equi-join — over 2w·P
+    * rows instead of the corpus. Union ① ∪ ② is exactly the naive w-window
+    * pair set: in-partition and cross-partition pairs are disjoint, and
+    * each arises exactly once.
     */
   def pairs(df: DataFrame, key: Column, id: Column, w: Int, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val ranked = globalRank(df.select(id.as("__id"), key.as("__k")), col("__k"), col("__id"), partitions)
-    val left = ranked.select(col("__id").as("a_id"),
-      explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"))
-    val right = ranked.select(col("__id").as("b_id"), col("rank"))
-    left.join(right, "rank").select(col("a_id"), col("b_id"))
+    val spark = ranked.sparkSession
+    val idType = ranked.schema("__id").dataType
+
+    // ① narrow in-partition sliding window: each row pairs with the ≤ w
+    // predecessors buffered from its own partition (iteration order = the
+    // checkpointed sorted order, stable across scans)
+    val pairSchema = StructType(Seq(
+      StructField("a_id", idType, nullable = true),
+      StructField("b_id", idType, nullable = true)))
+    val local = spark.createDataFrame(
+      ranked.select(col("__id")).rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayDeque[Any]()
+        it.flatMap { row =>
+          val cur = row.get(0)
+          val out = buf.iterator.map(prev => Row(prev, cur)).toVector
+          buf.append(cur)
+          if (buf.size > w) buf.removeHead()
+          out.iterator
+        }
+      }, pairSchema)
+
+    // ② boundary rows: first w and last w rows of every partition (disjoint
+    // by construction), with their global ranks and partition index
+    val bSchema = StructType(Seq(
+      StructField("__id", idType, nullable = true),
+      StructField("rank", LongType, nullable = true),
+      StructField("__pid", IntegerType, nullable = false)))
+    val boundary = spark.createDataFrame(
+      ranked.select(col("__id"), col("rank")).rdd.mapPartitionsWithIndex { (pid, it) =>
+        val first = scala.collection.mutable.ArrayBuffer[Row]()
+        val last = new scala.collection.mutable.ArrayDeque[Row]()
+        var n = 0
+        it.foreach { r =>
+          if (n < w) first += r
+          else { last.append(r); if (last.size > w) last.removeHead() }
+          n += 1
+        }
+        (first.iterator ++ last.iterator).map(r => Row(r.get(0), r.getLong(1), pid))
+      }, bSchema)
+    val bLeft = boundary.select(col("__id").as("a_id"),
+      explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"),
+      col("__pid").as("__apid"))
+    val bRight = boundary.select(col("__id").as("b_id"), col("rank"), col("__pid").as("__bpid"))
+    val cross = bLeft.join(bRight, "rank")
+      .where(col("__apid") =!= col("__bpid"))
+      .select(col("a_id"), col("b_id"))
+
+    local.unionByName(cross)
   }
 }

@@ -56,6 +56,29 @@ class NeighborhoodSpec extends SparkSpec {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("pairs: boundary-spanning successors with near-empty partitions (w=3)") {
+    import spark.implicits._
+    // 60 requested range partitions over 25 rows: most partitions hold 0-1
+    // rows, so nearly every pair crosses a partition boundary and many span
+    // SEVERAL — the r6 sliding-pass + boundary-frame split must still
+    // produce exactly the naive w-window pair set
+    val rows = (1 to 25).map(i => (f"d$i%03d", s"k${i % 4}"))
+    val got = Neighborhood.pairs(rows.toDF("id", "k"), col("k"), col("id"),
+      w = 3, partitions = 60)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val sorted = rows.sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) to math.min(i + 3, sorted.size - 1)
+    } yield (sorted(i), sorted(j))).toSet
+    assert(got === want)
+    // multiset check: no pair may arise from both the local and the
+    // boundary path
+    val cnt = Neighborhood.pairs(rows.toDF("id", "k"), col("k"), col("id"),
+      w = 3, partitions = 60)
+      .groupBy("a_id", "b_id").count().where(col("count") > 1).count()
+    assert(cnt === 0)
+  }
+
   test("pairs == naive window pairs (w=3)") {
     import spark.implicits._
     val r = new scala.util.Random(59)
