@@ -95,11 +95,17 @@ object Cluster {
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
 
-    // final edge set is a star forest (v -> component min); label every node
-    val sym = edges.select($"a".as("n"), $"b".as("p"))
-      .union(edges.select($"b".as("n"), $"a".as("p")))
-    sym.groupBy($"n").agg(min($"p").as("mp"))
-      .select($"n".as("doc_id"), least($"n", $"mp").as("cluster_id"))
+    // Final edge set is a star forest rooted at component minima — the
+    // FIXED POINTS of the large-star/small-star iteration are exactly such
+    // forests (Kiveris et al. §3), and convergence just verified edges is
+    // one. Labeling therefore reads off directly (optimization r6, guide
+    // §2.3 "aggregate before you shuffle"): every b is a member appearing
+    // exactly once with its root a, so members need NO aggregation at all;
+    // only the roots dedup (|components| rows), where the old shape
+    // symmetrized to 2|E| rows and ran a corpus-wide min-aggregate.
+    val roots = edges.select($"a").distinct()
+      .select($"a".as("doc_id"), $"a".as("cluster_id"))
+    edges.select($"b".as("doc_id"), $"a".as("cluster_id")).unionByName(roots)
   }
 
   /** Incremental label maintenance — fold a batch of NEW edges into an
