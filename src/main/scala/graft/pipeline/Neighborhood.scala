@@ -80,29 +80,41 @@ object Neighborhood {
     * each arises exactly once.
     */
   def pairs(df: DataFrame, key: Column, id: Column, w: Int, partitions: Int = 32): DataFrame = {
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.graftshim
     import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
     val ranked = globalRank(df.select(id.as("__id"), key.as("__k")), col("__k"), col("__id"), partitions)
     val spark = ranked.sparkSession
     val idType = ranked.schema("__id").dataType
+    // scan rows are reused buffers; buffered values must be copied out
+    def copyVal(v: Any): Any = v match {
+      case u: UTF8String => u.copy()
+      case x => x
+    }
 
     // ① narrow in-partition sliding window: each row pairs with the ≤ w
     // predecessors buffered from its own partition (iteration order = the
-    // checkpointed sorted order, stable across scans)
+    // checkpointed sorted order, stable across scans). InternalRow in and
+    // out (graftshim.internalCreateDataFrame): the external Row/encoder
+    // path tripled the per-row cost of this corpus-linear pass (noop A/B).
     val pairSchema = StructType(Seq(
       StructField("a_id", idType, nullable = true),
       StructField("b_id", idType, nullable = true)))
-    val local = spark.createDataFrame(
-      ranked.select(col("__id")).rdd.mapPartitions { it =>
-        val buf = new scala.collection.mutable.ArrayDeque[Any]()
-        it.flatMap { row =>
-          val cur = row.get(0)
-          val out = buf.iterator.map(prev => Row(prev, cur)).toVector
-          buf.append(cur)
-          if (buf.size > w) buf.removeHead()
-          out.iterator
-        }
-      }, pairSchema)
+    val localRdd = ranked.select(col("__id")).queryExecution.toRdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayDeque[Any]()
+      it.flatMap { row =>
+        val cur = copyVal(row.get(0, idType))
+        val out = buf.iterator
+          .map(prev => new GenericInternalRow(Array[Any](prev, cur)): InternalRow)
+          .toVector
+        buf.append(cur)
+        if (buf.size > w) buf.removeHead()
+        out.iterator
+      }
+    }
+    val local = graftshim.internalCreateDataFrame(spark, localRdd, pairSchema)
 
     // ② boundary rows: first w and last w rows of every partition (disjoint
     // by construction), with their global ranks and partition index
@@ -110,18 +122,22 @@ object Neighborhood {
       StructField("__id", idType, nullable = true),
       StructField("rank", LongType, nullable = true),
       StructField("__pid", IntegerType, nullable = false)))
-    val boundary = spark.createDataFrame(
-      ranked.select(col("__id"), col("rank")).rdd.mapPartitionsWithIndex { (pid, it) =>
-        val first = scala.collection.mutable.ArrayBuffer[Row]()
-        val last = new scala.collection.mutable.ArrayDeque[Row]()
+    val bRdd = ranked.select(col("__id"), col("rank")).queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val first = scala.collection.mutable.ArrayBuffer[(Any, Long)]()
+        val last = new scala.collection.mutable.ArrayDeque[(Any, Long)]()
         var n = 0
         it.foreach { r =>
-          if (n < w) first += r
-          else { last.append(r); if (last.size > w) last.removeHead() }
+          val v = (copyVal(r.get(0, idType)), r.getLong(1))
+          if (n < w) first += v
+          else { last.append(v); if (last.size > w) last.removeHead() }
           n += 1
         }
-        (first.iterator ++ last.iterator).map(r => Row(r.get(0), r.getLong(1), pid))
-      }, bSchema)
+        (first.iterator ++ last.iterator).map { case (idv, rk) =>
+          new GenericInternalRow(Array[Any](idv, rk, pid)): InternalRow
+        }
+      }
+    val boundary = graftshim.internalCreateDataFrame(spark, bRdd, bSchema)
     val bLeft = boundary.select(col("__id").as("a_id"),
       explode(sequence(col("rank") + 1, col("rank") + w)).as("rank"),
       col("__pid").as("__apid"))

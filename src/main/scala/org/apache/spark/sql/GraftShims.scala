@@ -16,4 +16,17 @@ object graftshim {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame over an RDD of catalyst InternalRows (optimization r6):
+    * `createDataFrame(RDD[Row])` drags every row through the external
+    * Row/encoder conversion — for narrow per-partition kernels that read
+    * and emit millions of rows (sorted-neighborhood successor pass), the
+    * object-domain hop tripled the stage's per-row cost (noop-sink A/B on
+    * 4.1.2). `internalCreateDataFrame` is `private[sql]`, hence this shim.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
 }
